@@ -1,0 +1,158 @@
+"""Log-domain Sinkhorn optimal transport with dustbins — `lax.scan`, masked.
+
+Parity target: `log_optimal_transport` / `log_sinkhorn_iterations`
+(superglue/models/superglue_test.py:139-168). Differences by design:
+
+  * the Python `for` over iterations becomes a `lax.scan`, so 30-100
+    iterations compile to one fused loop instead of an unrolled graph;
+  * keypoint-validity masks are first-class: invalid rows/cols carry zero
+    marginal mass and -BIG score everywhere, so a fixed-K padded problem
+    produces exactly the transport of the valid sub-problem (the
+    reference can't express this — it reshapes per image);
+  * accumulation is f32 even when scores arrive in bf16.
+
+A mesh-sharded variant (row/col logsumexp via psum) lives in
+parallel/sharded_sinkhorn.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+BIG_NEG = -1e9
+
+
+def log_sinkhorn(
+    z: jax.Array,
+    log_mu: jax.Array,
+    log_nu: jax.Array,
+    iters: int,
+) -> jax.Array:
+    """Sinkhorn normalisation in log space.
+
+    z: (..., M, N) log-kernel; log_mu: (..., M); log_nu: (..., N).
+    Returns z + u ⊕ v after `iters` alternating row/col updates.
+    """
+    z = z.astype(jnp.float32)
+
+    def step(carry, _):
+        u, v = carry
+        u = log_mu - jax.nn.logsumexp(z + v[..., None, :], axis=-1)
+        v = log_nu - jax.nn.logsumexp(z + u[..., :, None], axis=-2)
+        return (u, v), None
+
+    u0 = jnp.zeros_like(log_mu, dtype=jnp.float32)
+    v0 = jnp.zeros_like(log_nu, dtype=jnp.float32)
+    (u, v), _ = jax.lax.scan(step, (u0, v0), None, length=iters)
+    return z + u[..., :, None] + v[..., None, :]
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def log_optimal_transport(
+    scores: jax.Array,
+    bin_score: jax.Array,
+    iters: int = 100,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Differentiable OT with learned dustbin rows/cols.
+
+    Args:
+      scores: (..., M, N) match score matrix.
+      bin_score: scalar learned dustbin score (alpha).
+      iters: Sinkhorn iterations (reference defaults: 100 arch default,
+        30 in the eval CLIs).
+      mask0, mask1: optional (..., M)/(..., N) validity masks for padded
+        keypoint slots.
+
+    Returns: (..., M+1, N+1) log-coupling, probabilities scaled by the
+    valid count (m+n) exactly as the reference does (its `Z - norm`).
+    """
+    scores = scores.astype(jnp.float32)
+    batch_shape = scores.shape[:-2]
+    m, n = scores.shape[-2], scores.shape[-1]
+
+    if mask0 is None:
+        mask0 = jnp.ones(batch_shape + (m,), dtype=bool)
+    if mask1 is None:
+        mask1 = jnp.ones(batch_shape + (n,), dtype=bool)
+
+    ms = jnp.sum(mask0, axis=-1).astype(jnp.float32)  # (...,)
+    ns = jnp.sum(mask1, axis=-1).astype(jnp.float32)
+
+    alpha = jnp.broadcast_to(bin_score, batch_shape + (1, 1)).astype(jnp.float32)
+    pair_valid = mask0[..., :, None] & mask1[..., None, :]
+    scores = jnp.where(pair_valid, scores, BIG_NEG)
+    bins0 = jnp.broadcast_to(alpha, batch_shape + (m, 1))
+    bins0 = jnp.where(mask0[..., :, None], bins0, BIG_NEG)
+    bins1 = jnp.broadcast_to(alpha, batch_shape + (1, n))
+    bins1 = jnp.where(mask1[..., None, :], bins1, BIG_NEG)
+
+    couplings = jnp.concatenate(
+        [
+            jnp.concatenate([scores, bins0], axis=-1),
+            jnp.concatenate([bins1, alpha], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., M+1, N+1)
+
+    norm = -jnp.log(ms + ns)  # (...,)
+    log_mu = jnp.where(mask0, norm[..., None], BIG_NEG)  # valid rows: norm
+    log_mu = jnp.concatenate(
+        [log_mu, (jnp.log(jnp.maximum(ns, 1e-12)) + norm)[..., None]], axis=-1
+    )
+    log_nu = jnp.where(mask1, norm[..., None], BIG_NEG)
+    log_nu = jnp.concatenate(
+        [log_nu, (jnp.log(jnp.maximum(ms, 1e-12)) + norm)[..., None]], axis=-1
+    )
+
+    z = log_sinkhorn(couplings, log_mu, log_nu, iters)
+    return z - norm[..., None, None]
+
+
+@partial(jax.jit, static_argnames=())
+def extract_matches_from_transport(
+    z: jax.Array,
+    match_threshold: float,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+):
+    """Mutual-max + threshold extraction on the (M+1, N+1) log-coupling.
+
+    The reference's extraction block (superglue_test.py:267-278):
+    row/col argmax over the non-dustbin part, mutual consistency, exp()
+    score thresholding. Returns (matches0, matches1, scores0, scores1).
+    """
+    inner = z[..., :-1, :-1]
+    m, n = inner.shape[-2], inner.shape[-1]
+    if mask0 is not None:
+        inner = jnp.where(mask0[..., :, None], inner, BIG_NEG)
+    if mask1 is not None:
+        inner = jnp.where(mask1[..., None, :], inner, BIG_NEG)
+
+    indices0 = jnp.argmax(inner, axis=-1)
+    indices1 = jnp.argmax(inner, axis=-2)
+    max0 = jnp.max(inner, axis=-1)
+
+    arange0 = jnp.arange(m)
+    arange1 = jnp.arange(n)
+    mutual0 = jnp.take_along_axis(indices1, indices0, axis=-1) == arange0
+    mutual1 = jnp.take_along_axis(indices0, indices1, axis=-1) == arange1
+
+    mscores0 = jnp.where(mutual0, jnp.exp(max0), 0.0)
+    mscores1 = jnp.where(
+        mutual1, jnp.take_along_axis(mscores0, indices1, axis=-1), 0.0
+    )
+    valid0 = mutual0 & (mscores0 > match_threshold)
+    if mask0 is not None:
+        valid0 = valid0 & mask0
+    valid1 = mutual1 & jnp.take_along_axis(valid0, indices1, axis=-1)
+    if mask1 is not None:
+        valid1 = valid1 & mask1
+
+    matches0 = jnp.where(valid0, indices0, -1).astype(jnp.int32)
+    matches1 = jnp.where(valid1, indices1, -1).astype(jnp.int32)
+    return matches0, matches1, mscores0, mscores1

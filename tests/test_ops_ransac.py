@@ -1,0 +1,131 @@
+"""Vectorized RANSAC vs OpenCV on synthetic correspondences with outliers."""
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_matching_tpu.ops import fit_similarity_lsq, ransac_homography, ransac_similarity
+from image_matching_tpu.ops.ransac import fit_homography_lsq, similarity_from_2pts
+
+
+def make_similarity(angle, scale, tx, ty):
+    c, s = np.cos(angle) * scale, np.sin(angle) * scale
+    return np.array([[c, -s, tx], [s, c, ty]], dtype=np.float64)
+
+
+def synth_matches(rng, mat, n_inliers=80, n_outliers=40, noise=0.5, homography=False):
+    p0 = rng.uniform(0, 200, (n_inliers + n_outliers, 2))
+    if homography:
+        p1 = cv2.perspectiveTransform(p0[None].astype(np.float64), mat)[0]
+    else:
+        p1 = p0 @ mat[:, :2].T + mat[:, 2]
+    p1 += rng.normal(0, noise, p1.shape)
+    p1[n_inliers:] = rng.uniform(0, 200, (n_outliers, 2))  # gross outliers
+    return p0.astype(np.float32), p1.astype(np.float32)
+
+
+class TestSimilarityMinimal:
+    def test_exact_on_2pts(self):
+        mat = make_similarity(0.3, 1.2, 5.0, -3.0)
+        p0 = np.array([[0.0, 0.0], [10.0, 4.0]])
+        p1 = p0 @ mat[:, :2].T + mat[:, 2]
+        est = np.asarray(similarity_from_2pts(jnp.asarray(p0), jnp.asarray(p1)))
+        np.testing.assert_allclose(est, mat, rtol=1e-4, atol=1e-4)
+
+    def test_lsq_recovers_with_noise(self):
+        rng = np.random.default_rng(0)
+        mat = make_similarity(-0.2, 0.9, 12.0, 7.0)
+        p0, p1 = synth_matches(rng, mat, 100, 0, noise=0.3)
+        est = np.asarray(
+            fit_similarity_lsq(jnp.asarray(p0), jnp.asarray(p1), jnp.ones(100))
+        )
+        np.testing.assert_allclose(est, mat, atol=0.1)
+
+
+class TestRansacSimilarity:
+    def test_recovers_model_with_outliers(self):
+        rng = np.random.default_rng(1)
+        mat = make_similarity(0.4, 1.1, -20.0, 15.0)
+        p0, p1 = synth_matches(rng, mat, 80, 60)
+        fit = ransac_similarity(
+            jax.random.PRNGKey(0),
+            jnp.asarray(p0), jnp.asarray(p1), jnp.ones(140, bool),
+            threshold=7.0,
+        )
+        assert bool(fit.valid)
+        assert int(fit.num_inliers) >= 75
+        np.testing.assert_allclose(np.asarray(fit.matrix), mat, atol=0.2)
+
+    def test_comparable_to_cv2(self):
+        rng = np.random.default_rng(2)
+        mat = make_similarity(-0.6, 0.8, 30.0, -10.0)
+        p0, p1 = synth_matches(rng, mat, 60, 60, noise=1.0)
+        fit = ransac_similarity(
+            jax.random.PRNGKey(1),
+            jnp.asarray(p0), jnp.asarray(p1), jnp.ones(120, bool),
+            threshold=7.0,
+        )
+        ref, ref_inl = cv2.estimateAffinePartial2D(
+            p0, p1, method=cv2.RANSAC, ransacReprojThreshold=7
+        )
+        np.testing.assert_allclose(np.asarray(fit.matrix), ref, atol=0.3)
+        assert abs(int(fit.num_inliers) - int(ref_inl.sum())) <= 5
+
+    def test_invalid_when_too_few(self):
+        p0 = jnp.zeros((10, 2))
+        p1 = jnp.zeros((10, 2))
+        valid = jnp.zeros(10, bool).at[0].set(True).at[1].set(True)
+        fit = ransac_similarity(jax.random.PRNGKey(0), p0, p1, valid)
+        assert not bool(fit.valid)
+        assert int(fit.num_inliers) == 0
+
+    def test_respects_match_mask(self):
+        # valid matches follow the model; masked-out slots are adversarial
+        rng = np.random.default_rng(3)
+        mat = make_similarity(0.1, 1.0, 3.0, 4.0)
+        p0, p1 = synth_matches(rng, mat, 50, 0, noise=0.2)
+        bad0 = rng.uniform(0, 200, (50, 2)).astype(np.float32)
+        bad1 = rng.uniform(0, 200, (50, 2)).astype(np.float32)
+        P0 = jnp.asarray(np.concatenate([p0, bad0]))
+        P1 = jnp.asarray(np.concatenate([p1, bad1]))
+        valid = jnp.asarray(np.array([True] * 50 + [False] * 50))
+        fit = ransac_similarity(jax.random.PRNGKey(2), P0, P1, valid, threshold=5.0)
+        assert bool(fit.valid)
+        assert not bool(jnp.any(fit.inliers[50:]))
+        np.testing.assert_allclose(np.asarray(fit.matrix), mat, atol=0.2)
+
+
+class TestRansacHomography:
+    def test_recovers_homography(self):
+        rng = np.random.default_rng(4)
+        h = np.array(
+            [[1.1, 0.05, -10.0], [-0.03, 0.95, 20.0], [1e-4, -5e-5, 1.0]]
+        )
+        p0, p1 = synth_matches(rng, h, 80, 50, noise=0.5, homography=True)
+        fit = ransac_homography(
+            jax.random.PRNGKey(3),
+            jnp.asarray(p0), jnp.asarray(p1), jnp.ones(130, bool),
+            threshold=5.0,
+        )
+        assert bool(fit.valid)
+        assert int(fit.num_inliers) >= 70
+        est = np.asarray(fit.matrix)
+        # compare action on test points rather than raw entries
+        q = rng.uniform(0, 200, (50, 2)).astype(np.float64)
+        ref_w = cv2.perspectiveTransform(q[None], h)[0]
+        est_w = cv2.perspectiveTransform(q[None], est.astype(np.float64))[0]
+        assert np.abs(ref_w - est_w).max() < 2.0
+
+    def test_dlt_lsq_noise_free(self):
+        rng = np.random.default_rng(5)
+        h = np.array([[0.9, 0.1, 5.0], [0.0, 1.05, -8.0], [5e-5, 1e-4, 1.0]])
+        p0 = rng.uniform(0, 100, (40, 2))
+        p1 = cv2.perspectiveTransform(p0[None], h)[0]
+        est = np.asarray(
+            fit_homography_lsq(
+                jnp.asarray(p0.astype(np.float32)),
+                jnp.asarray(p1.astype(np.float32)),
+                jnp.ones(40),
+            )
+        )
+        np.testing.assert_allclose(est / est[2, 2], h, rtol=1e-2, atol=1e-2)
