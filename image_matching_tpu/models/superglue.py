@@ -1,0 +1,211 @@
+"""SuperGlue attentional graph matcher (flax.linen, masked, TPU-first).
+
+Architecture parity with superglue/models/superglue_test.py:49-285
+(Sarlin et al., CVPR 2020): keypoint normalisation, MLP keypoint encoder
+([3]+layers+[D]), L alternating self/cross attention layers with 4 heads,
+final projection, score matrix /√D, dustbin Sinkhorn OT, mutual-max
+extraction. TPU-first differences:
+
+  * fixed-K masked keypoint sets — attention logits, BN statistics and
+    the OT marginals are all mask-aware, so one compiled program serves
+    every image pair;
+  * attention is one fused einsum chain in bf16 (N≈1-2k keypoints fits
+    VMEM easily); a Pallas blockwise kernel handles the long-context
+    regime (ops/pallas/attention.py) and ring attention shards N across
+    chips (parallel/ring_attention.py);
+  * Sinkhorn runs as a `lax.scan` (ops/sinkhorn.py) instead of an
+    unrolled Python loop.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from image_matching_tpu.models.common import SeqMLP
+from image_matching_tpu.ops.sinkhorn import (
+    extract_matches_from_transport,
+    log_optimal_transport,
+)
+from image_matching_tpu.structs import Keypoints, MatchResult
+
+NEG_INF = -1e9
+
+
+def normalize_keypoints(
+    xy: jax.Array, height: int, width: int
+) -> jax.Array:
+    """Centre and scale keypoints by 0.7·max(H, W) — superglue_test.py:65-70."""
+    size = jnp.array([width, height], dtype=xy.dtype)
+    center = size / 2.0
+    scaling = jnp.max(size) * 0.7
+    return (xy - center) / scaling
+
+
+class MultiHeadedAttention(nn.Module):
+    """4-head attention over masked keypoint sets (superglue_test.py:85-106)."""
+
+    num_heads: int
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (B, N, D)
+        source: jax.Array,  # (B, M, D) — keys and values
+        source_mask: Optional[jax.Array] = None,  # (B, M)
+    ) -> jax.Array:
+        d_head = self.dim // self.num_heads
+        dense = lambda name: nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        q = dense("proj_q")(query)
+        k = dense("proj_k")(source)
+        v = dense("proj_v")(source)
+
+        b, n, _ = q.shape
+        m = k.shape[1]
+        q = q.reshape(b, n, self.num_heads, d_head)
+        k = k.reshape(b, m, self.num_heads, d_head)
+        v = v.reshape(b, m, self.num_heads, d_head)
+
+        logits = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) / (d_head ** 0.5)
+        if source_mask is not None:
+            logits = jnp.where(source_mask[:, None, None, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+        out = out.reshape(b, n, self.dim)
+        return dense("merge")(out)
+
+
+class AttentionalPropagation(nn.Module):
+    """attn + MLP([2D, 2D, D]) residual message (superglue_test.py:109-117)."""
+
+    dim: int
+    num_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, source, x_mask, source_mask, train: bool = False):
+        message = MultiHeadedAttention(
+            self.num_heads, self.dim, dtype=self.dtype, name="attn"
+        )(x, source, source_mask)
+        y = jnp.concatenate([x, message], axis=-1)
+        return SeqMLP(
+            (self.dim * 2, self.dim), dtype=self.dtype, name="mlp"
+        )(y, x_mask, train)
+
+
+class AttentionalGNN(nn.Module):
+    """Alternating self/cross attention stack (superglue_test.py:120-136)."""
+
+    dim: int
+    layer_names: Tuple[str, ...]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, desc0, desc1, mask0, mask1, train: bool = False):
+        for i, name in enumerate(self.layer_names):
+            layer = AttentionalPropagation(
+                self.dim, dtype=self.dtype, name=f"layer_{i}_{name}"
+            )
+            if name == "cross":
+                src0, sm0 = desc1, mask1
+                src1, sm1 = desc0, mask0
+            else:
+                src0, sm0 = desc0, mask0
+                src1, sm1 = desc1, mask1
+            delta0 = layer(desc0, src0, mask0, sm0, train)
+            delta1 = layer(desc1, src1, mask1, sm1, train)
+            desc0 = desc0 + delta0
+            desc1 = desc1 + delta1
+        return desc0, desc1
+
+
+class SuperGlue(nn.Module):
+    """Feature matching GNN with optimal-transport assignment.
+
+    Defaults follow the reference's `default_config`
+    (superglue_test.py:195-202); the self-trained pipeline uses
+    descriptor_dim=128, keypoint_encoder [32, 64, 128], sinkhorn 30
+    (superpoint_glue_test.py:30-35).
+    """
+
+    descriptor_dim: int = 256
+    keypoint_encoder: Sequence[int] = (32, 64, 128, 256)
+    gnn_layers: int = 18  # 9 × (self, cross)
+    sinkhorn_iterations: int = 100
+    match_threshold: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    def _layer_names(self):
+        return tuple(
+            "self" if i % 2 == 0 else "cross" for i in range(self.gnn_layers)
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        kpts0: Keypoints,
+        kpts1: Keypoints,
+        image_shape0: Tuple[int, int],
+        image_shape1: Tuple[int, int],
+        train: bool = False,
+    ) -> dict:
+        d = self.descriptor_dim
+        desc0 = kpts0.desc.astype(self.dtype)
+        desc1 = kpts1.desc.astype(self.dtype)
+        mask0, mask1 = kpts0.mask, kpts1.mask
+
+        n0 = normalize_keypoints(kpts0.xy, *image_shape0)
+        n1 = normalize_keypoints(kpts1.xy, *image_shape1)
+
+        kenc = SeqMLP(
+            tuple(self.keypoint_encoder) + (d,), dtype=self.dtype, name="kenc"
+        )
+        enc_in0 = jnp.concatenate([n0, kpts0.score[..., None]], axis=-1)
+        enc_in1 = jnp.concatenate([n1, kpts1.score[..., None]], axis=-1)
+        desc0 = desc0 + kenc(enc_in0.astype(self.dtype), mask0, train)
+        desc1 = desc1 + kenc(enc_in1.astype(self.dtype), mask1, train)
+
+        desc0, desc1 = AttentionalGNN(
+            d, self._layer_names(), dtype=self.dtype, name="gnn"
+        )(desc0, desc1, mask0, mask1, train)
+
+        final = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32, name="final_proj")
+        mdesc0, mdesc1 = final(desc0), final(desc1)
+
+        scores = jnp.einsum(
+            "bnd,bmd->bnm", mdesc0, mdesc1, preferred_element_type=jnp.float32
+        ) / (d ** 0.5)
+
+        bin_score = self.param(
+            "bin_score", nn.initializers.constant(1.0), (), jnp.float32
+        )
+        z = log_optimal_transport(
+            scores, bin_score, self.sinkhorn_iterations, mask0=mask0, mask1=mask1
+        )
+        matches0, matches1, mscores0, mscores1 = extract_matches_from_transport(
+            z, self.match_threshold, mask0=mask0, mask1=mask1
+        )
+        return {
+            "matches0": matches0,
+            "matches1": matches1,
+            "matching_scores0": mscores0,
+            "matching_scores1": mscores1,
+            "log_coupling": z,
+        }
+
+
+def match_result_from_outputs(outputs: dict) -> MatchResult:
+    return MatchResult(
+        matches0=outputs["matches0"],
+        matches1=outputs["matches1"],
+        scores0=outputs["matching_scores0"],
+        scores1=outputs["matching_scores1"],
+    )

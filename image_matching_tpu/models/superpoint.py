@@ -1,0 +1,130 @@
+"""SuperPoint detector+descriptor networks (flax.linen, NHWC, bf16-ready).
+
+Two variants, matching the reference's two backbones:
+  * `SuperPointBN` — the U-Net-encoder training variant with BatchNorm
+    (superpoint/models/superpoint_train.py:8-58 over unet_parts.py):
+    inconv(64) + 3×(maxpool + double_conv) with channels 64-64-128-128,
+    then BN'd detector (65ch) and descriptor heads through a 256ch 3×3.
+  * `SuperPointVGG` — the MagicLeap official plain-VGG variant without BN
+    (superglue/models/superpoint.py:95-202), fixed 256-d descriptors.
+
+Both emit a dict {"semi": (B, Hc, Wc, 65) logits,
+"desc_map": (B, Hc, Wc, D) L2-normalised coarse descriptors}; the shared
+`superpoint_postprocess` turns that into a fixed-K masked `Keypoints` via
+softmax→pixel-shuffle→NMS→top-k→bilinear descriptor sampling — the whole
+chain the reference runs half on device, half on host
+(superpoint_test.py:103-161), here one fused XLA program.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from image_matching_tpu.geometry.labels import flatten_detection
+from image_matching_tpu.models.common import DoubleConv, max_pool_stride2
+from image_matching_tpu.ops.detect import detect_keypoints
+from image_matching_tpu.ops.sampling import sample_descriptors
+from image_matching_tpu.structs import Keypoints
+
+CELL = 8
+
+
+class SuperPointBN(nn.Module):
+    """U-Net-encoder SuperPoint with BatchNorm (training variant)."""
+
+    descriptor_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jax.Array, train: bool = False) -> dict:
+        c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
+        x = image.astype(self.dtype)
+        x = DoubleConv(c1, dtype=self.dtype, name="inc")(x, train)
+        x = DoubleConv(c2, dtype=self.dtype, name="down1")(max_pool_stride2(x), train)
+        x = DoubleConv(c3, dtype=self.dtype, name="down2")(max_pool_stride2(x), train)
+        x = DoubleConv(c4, dtype=self.dtype, name="down3")(max_pool_stride2(x), train)
+
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding="SAME", dtype=self.dtype,
+            param_dtype=jnp.float32, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, dtype=jnp.float32,
+            momentum=0.9, name=name,
+        )
+        # Detector head: relu(BN(conv3x3)) -> BN(conv1x1) logits
+        cpa = nn.relu(bn("bnPa")(conv(c5, 3, "convPa")(x).astype(jnp.float32)))
+        semi = bn("bnPb")(conv(65, 1, "convPb")(cpa.astype(self.dtype)).astype(jnp.float32))
+        # Descriptor head
+        cda = nn.relu(bn("bnDa")(conv(c5, 3, "convDa")(x).astype(jnp.float32)))
+        desc = bn("bnDb")(
+            conv(self.descriptor_dim, 1, "convDb")(cda.astype(self.dtype)).astype(jnp.float32)
+        )
+        desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+        return {"semi": semi, "desc_map": desc}
+
+
+class SuperPointVGG(nn.Module):
+    """Plain VGG SuperPoint (MagicLeap official architecture, no BN)."""
+
+    descriptor_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jax.Array, train: bool = False) -> dict:
+        del train  # no normalisation layers
+        c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding="SAME", dtype=self.dtype,
+            param_dtype=jnp.float32, name=name,
+        )
+        x = image.astype(self.dtype)
+        x = nn.relu(conv(c1, 3, "conv1a")(x))
+        x = nn.relu(conv(c1, 3, "conv1b")(x))
+        x = max_pool_stride2(x)
+        x = nn.relu(conv(c2, 3, "conv2a")(x))
+        x = nn.relu(conv(c2, 3, "conv2b")(x))
+        x = max_pool_stride2(x)
+        x = nn.relu(conv(c3, 3, "conv3a")(x))
+        x = nn.relu(conv(c3, 3, "conv3b")(x))
+        x = max_pool_stride2(x)
+        x = nn.relu(conv(c4, 3, "conv4a")(x))
+        x = nn.relu(conv(c4, 3, "conv4b")(x))
+
+        cpa = nn.relu(conv(c5, 3, "convPa")(x))
+        semi = conv(65, 1, "convPb")(cpa).astype(jnp.float32)
+        cda = nn.relu(conv(c5, 3, "convDa")(x))
+        desc = conv(self.descriptor_dim, 1, "convDb")(cda).astype(jnp.float32)
+        desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+        return {"semi": semi, "desc_map": desc}
+
+
+def superpoint_postprocess(
+    outputs: dict,
+    max_keypoints: int,
+    threshold: float = 0.005,
+    nms_radius: int = 4,
+    border: int = 4,
+    heatmap: Optional[jax.Array] = None,
+) -> Keypoints:
+    """Dense net outputs → fixed-K keypoints with sampled descriptors.
+
+    Mirrors superpoint_test.py:128-155: softmax over 65, drop dustbin,
+    pixel-shuffle to H×W, simple_nms, threshold+border, top-K, bilinear
+    descriptor sampling + L2-normalise — all jitted, batched, static.
+    """
+    if heatmap is None:
+        heatmap = flatten_detection(outputs["semi"], CELL)
+    kpts = detect_keypoints(
+        heatmap,
+        max_keypoints=max_keypoints,
+        threshold=threshold,
+        nms_radius=nms_radius,
+        border=border,
+    )
+    desc = sample_descriptors(kpts.xy, outputs["desc_map"], CELL)
+    desc = desc * kpts.mask[..., None].astype(desc.dtype)
+    return kpts.replace(desc=desc)
