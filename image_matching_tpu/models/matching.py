@@ -89,6 +89,16 @@ class Matching(nn.Module):
             border=cfg.border,
         )
 
+    def match_keypoints(
+        self,
+        kpts0: Keypoints,
+        kpts1: Keypoints,
+        image_shape0: Tuple[int, int],
+        image_shape1: Tuple[int, int],
+        train: bool = False,
+    ) -> dict:
+        return self.superglue(kpts0, kpts1, image_shape0, image_shape1, train=train)
+
     def __call__(
         self,
         image0: jax.Array,
