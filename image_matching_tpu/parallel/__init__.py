@@ -1,0 +1,19 @@
+from image_matching_tpu.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicate,
+    shard_batch,
+)
+from image_matching_tpu.parallel.sharding import (
+    superglue_param_sharding,
+    apply_param_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicate",
+    "shard_batch",
+    "superglue_param_sharding",
+    "apply_param_sharding",
+]
