@@ -1,0 +1,137 @@
+"""Train SuperGlue on self-generated warped pairs — the reference's
+`superpoint_glue_train.py` rebuilt: pairs are generated on-device inside
+the jitted step (no SuperPoint-in-the-dataset), epoch loop with TB
+mean-loss logging and per-epoch checkpoints.
+
+Usage:
+  python -m image_matching_tpu.cli.train_superglue \
+      --data_root datasets/ALLSS --sp_checkpoint runs/superpoint/checkpoints \
+      --run_dir runs/superglue --descriptor_dim 128
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from image_matching_tpu.data.datasets import ALLSSDataset, SyntheticShapesDataset
+from image_matching_tpu.models.superglue import SuperGlue
+from image_matching_tpu.models.superpoint import SuperPointBN
+from image_matching_tpu.parallel import make_data_mesh, shard_batch
+from image_matching_tpu.train import create_train_state, make_superglue_train_step
+from image_matching_tpu.train.checkpoint import CheckpointManager
+from image_matching_tpu.train.superglue_trainer import (
+    SuperGluePairConfig,
+    generate_pair,
+)
+from image_matching_tpu.utils.logging import get_logger
+
+log = get_logger("train_superglue")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--sp_checkpoint", default=None,
+                   help="SuperPoint checkpoint dir (random init if absent)")
+    p.add_argument("--run_dir", default="runs/superglue")
+    p.add_argument("--descriptor_dim", type=int, default=128)
+    p.add_argument("--keypoint_encoder", type=int, nargs="+", default=[32, 64, 128])
+    p.add_argument("--gnn_layers", type=int, default=18)
+    p.add_argument("--sinkhorn_iterations", type=int, default=100)
+    p.add_argument("--max_keypoints", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--steps_per_epoch", type=int, default=500)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    mesh = make_data_mesh(args.batch_size)
+
+    if args.synthetic or args.data_root is None:
+        ds = SyntheticShapesDataset(args.height, args.width, seed=args.seed)
+        data_iter = ds.batches(args.batch_size)
+    else:
+        ds = ALLSSDataset(args.data_root, "train",
+                          resize=(args.height, args.width))
+        data_iter = ds.batches(args.batch_size, seed=args.seed)
+
+    sp = SuperPointBN(descriptor_dim=args.descriptor_dim, dtype=jnp.bfloat16)
+    example = jnp.zeros((1, args.height, args.width, 1))
+    sp_vars = sp.init(jax.random.PRNGKey(0), example)
+    if args.sp_checkpoint:
+        from image_matching_tpu.train import create_train_state as _cts
+
+        sp_state = _cts(jax.random.PRNGKey(0), sp, (example,),
+                        init_kwargs={"train": True})
+        sp_state = CheckpointManager(args.sp_checkpoint).restore(sp_state)
+        sp_vars = sp_state.variables
+        log.info("loaded SuperPoint from %s", args.sp_checkpoint)
+
+    sg = SuperGlue(
+        descriptor_dim=args.descriptor_dim,
+        keypoint_encoder=tuple(args.keypoint_encoder),
+        gnn_layers=args.gnn_layers,
+        sinkhorn_iterations=args.sinkhorn_iterations,
+        dtype=jnp.bfloat16,
+    )
+    cfg = SuperGluePairConfig(max_keypoints=args.max_keypoints)
+
+    images0 = jnp.zeros((1, args.height, args.width, 1))
+    kp0, kp1, *_ = generate_pair(jax.random.PRNGKey(1), sp, sp_vars, images0, cfg)
+    state = create_train_state(
+        jax.random.PRNGKey(args.seed), sg,
+        (kp0, kp1, (args.height, args.width), (args.height, args.width)),
+        tx=optax.adam(args.learning_rate), init_kwargs={"train": True},
+    )
+    ckpt = CheckpointManager(f"{args.run_dir}/checkpoints")
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        log.info("resumed from step %d", int(state.step))
+
+    step_fn = make_superglue_train_step(sg, sp, sp_vars, cfg)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(f"{args.run_dir}/logdir")
+    except ImportError:
+        pass
+
+    key = jax.random.PRNGKey(args.seed + 7)
+    for epoch in range(args.epochs):
+        losses = []
+        t0 = time.perf_counter()
+        for _ in range(args.steps_per_epoch):
+            key, k = jax.random.split(key)
+            host = next(data_iter)
+            batch = shard_batch(mesh, {"image": jnp.asarray(host["image"])})
+            state, metrics = step_fn(state, batch, k)
+            losses.append(float(metrics["loss"]))
+            if writer and int(state.step) % 5 == 0:
+                writer.add_scalar("train/Mean_Loss",
+                                  float(np.mean(losses[-5:])), int(state.step))
+        log.info(
+            "epoch %d: mean loss %.4f (%.1f steps/s)",
+            epoch, float(np.mean(losses)),
+            args.steps_per_epoch / (time.perf_counter() - t0),
+        )
+        ckpt.save(state)
+    ckpt.save(state, wait=True)
+
+
+if __name__ == "__main__":
+    main()

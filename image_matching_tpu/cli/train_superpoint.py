@@ -1,0 +1,153 @@
+"""Train SuperPoint (detector + descriptor) — the reference's
+`superpoint_train_descriptor.py` + `Train_model_heatmap.train()` loop
+(iter-driven with validation/checkpoint intervals, TB scalars, Ctrl-C
+checkpoint) rebuilt around jitted steps and on-device batch construction.
+
+Usage:
+  python -m image_matching_tpu.cli.train_superpoint \
+      --data_root datasets/ALLSS --labels Results/pseudo_labels \
+      --run_dir Results/superpoint_128 --descriptor_dim 128
+  # or bootstrap on synthetic shapes (no files needed):
+  python -m image_matching_tpu.cli.train_superpoint --synthetic ...
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from image_matching_tpu.data.datasets import ALLSSDataset, SyntheticShapesDataset
+from image_matching_tpu.data.pipeline import WarpedPairConfig, make_warped_pair_batch
+from image_matching_tpu.models.superpoint import SuperPointBN
+from image_matching_tpu.parallel import make_data_mesh, shard_batch
+from image_matching_tpu.train import (
+    SuperPointLossConfig,
+    create_train_state,
+    make_superpoint_train_step,
+)
+from image_matching_tpu.train.checkpoint import CheckpointManager
+from image_matching_tpu.train.metrics import detector_precision_recall
+from image_matching_tpu.train.superpoint_trainer import make_superpoint_eval_step
+from image_matching_tpu.utils.logging import get_logger
+
+log = get_logger("train_superpoint")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--labels", default=None, help="pseudo-label npz dir")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--run_dir", default="runs/superpoint")
+    p.add_argument("--descriptor_dim", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--train_iter", type=int, default=100_000)
+    p.add_argument("--validation_interval", type=int, default=2000)
+    p.add_argument("--save_interval", type=int, default=2000)
+    p.add_argument("--tensorboard_interval", type=int, default=200)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    mesh = make_data_mesh(args.batch_size)
+    log.info("devices: %s", jax.devices())
+
+    if args.synthetic or args.data_root is None:
+        train_ds = SyntheticShapesDataset(args.height, args.width, seed=args.seed)
+        val_ds = SyntheticShapesDataset(args.height, args.width, seed=args.seed + 1)
+        train_iter = train_ds.batches(args.batch_size)
+        val_iter = val_ds.batches(args.batch_size)
+    else:
+        train_ds = ALLSSDataset(
+            args.data_root, "train", args.labels, resize=(args.height, args.width)
+        )
+        val_ds = ALLSSDataset(
+            args.data_root, "val", args.labels, resize=(args.height, args.width)
+        )
+        train_iter = train_ds.batches(args.batch_size, seed=args.seed)
+        val_iter = val_ds.batches(args.batch_size, shuffle=False)
+
+    model = SuperPointBN(descriptor_dim=args.descriptor_dim, dtype=jnp.bfloat16)
+    example = jnp.zeros((1, args.height, args.width, 1))
+    state = create_train_state(
+        jax.random.PRNGKey(args.seed), model, (example,),
+        tx=optax.adam(args.learning_rate), init_kwargs={"train": True},
+    )
+    ckpt = CheckpointManager(f"{args.run_dir}/checkpoints")
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        log.info("resumed from step %d", int(state.step))
+
+    pair_cfg = WarpedPairConfig()
+    loss_cfg = SuperPointLossConfig()
+    train_step = make_superpoint_train_step(model, loss_cfg)
+    eval_step = make_superpoint_eval_step(model, loss_cfg)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(f"{args.run_dir}/logdir")
+    except ImportError:
+        pass
+
+    key = jax.random.PRNGKey(args.seed + 100)
+
+    def device_batch(host_batch, k):
+        images = jnp.asarray(host_batch["image"])
+        pts = jnp.asarray(host_batch["points"])
+        mask = jnp.asarray(host_batch["points_mask"])
+        batch = make_warped_pair_batch(k, images, pts, mask, pair_cfg)
+        return shard_batch(mesh, batch)
+
+    t0 = time.perf_counter()
+    try:
+        while int(state.step) < args.train_iter:
+            key, k_data, k_loss = jax.random.split(key, 3)
+            batch = device_batch(next(train_iter), k_data)
+            state, metrics = train_step(state, batch, k_loss)
+            step = int(state.step)
+
+            if step % args.tensorboard_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                pr = detector_precision_recall(
+                    model.apply(state.variables, batch["image"])["semi"],
+                    batch["labels_2d"],
+                )
+                m.update({k: float(v) for k, v in pr.items()})
+                rate = step / (time.perf_counter() - t0 + 1e-9)
+                log.info("step %d (%.1f it/s): %s", step, rate, m)
+                if writer:
+                    for k_, v in m.items():
+                        writer.add_scalar(f"train/{k_}", v, step)
+
+            if step % args.validation_interval == 0:
+                key, k_data, k_loss = jax.random.split(key, 3)
+                vbatch = device_batch(next(val_iter), k_data)
+                vm = eval_step(state, vbatch, k_loss)
+                log.info("val @%d: %s", step, {k: float(v) for k, v in vm.items()})
+                if writer:
+                    for k_, v in vm.items():
+                        writer.add_scalar(f"val/{k_}", float(v), step)
+
+            if step % args.save_interval == 0:
+                ckpt.save(state)
+    except KeyboardInterrupt:
+        # Ctrl-C checkpoint, as superpoint_train_descriptor.py:48-53
+        log.info("interrupted — saving checkpoint")
+    ckpt.save(state, wait=True)
+    log.info("done at step %d", int(state.step))
+
+
+if __name__ == "__main__":
+    main()

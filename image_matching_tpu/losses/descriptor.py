@@ -79,9 +79,19 @@ def _one_image_loss(
         & (uv_b[:, 1] <= hc - 1)
     )
 
-    # choose num_matches slots among the in-bounds warps (random priority)
-    prio = jnp.where(inb, jax.random.uniform(k_sel, (uv_a.shape[0],)), -1.0)
-    _, sel = jax.lax.top_k(prio, num_matches)
+    # choose num_matches slots among the in-bounds warps: random-priority
+    # top-k when the grid is large enough, sampling with replacement when
+    # num_matches exceeds the cell count (the reference pads by random
+    # choice with replacement, crop_or_pad_choice utils/utils.py:334-356)
+    n_cells = uv_a.shape[0]
+    if num_matches <= n_cells:
+        prio = jnp.where(inb, jax.random.uniform(k_sel, (n_cells,)), -1.0)
+        _, sel = jax.lax.top_k(prio, num_matches)
+    else:
+        logits = jnp.where(inb, 0.0, -jnp.inf)
+        any_inb = jnp.any(inb)
+        safe_logits = jnp.where(any_inb, logits, jnp.zeros_like(logits))
+        sel = jax.random.categorical(k_sel, safe_logits, shape=(num_matches,))
     uv_a_m = uv_a[sel]
     uv_b_m = uv_b[sel]
     w = inb[sel].astype(jnp.float32)  # (num_matches,)

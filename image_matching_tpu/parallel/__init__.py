@@ -1,5 +1,6 @@
 from image_matching_tpu.parallel.mesh import (
     make_mesh,
+    make_data_mesh,
     data_sharding,
     replicate,
     shard_batch,
@@ -11,6 +12,7 @@ from image_matching_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "make_data_mesh",
     "data_sharding",
     "replicate",
     "shard_batch",

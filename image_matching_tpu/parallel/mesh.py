@@ -42,6 +42,13 @@ def make_mesh(
     return Mesh(dev_array, names)
 
 
+def make_data_mesh(batch_size: int) -> Mesh:
+    """Data-parallel mesh over the largest device count dividing the batch."""
+    n_dev = len(jax.devices())
+    n = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+    return make_mesh({"data": n}, jax.devices()[:n])
+
+
 def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     """Shard dim 0 (batch) over `axis`, replicate the rest."""
     spec = P(axis, *([None] * (ndim - 1)))

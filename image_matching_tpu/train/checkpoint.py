@@ -1,0 +1,73 @@
+"""Checkpoint save/restore via orbax — sharding-aware, step-keyed.
+
+Parity: the reference saves `{n_iter, model_state_dict,
+optimizer_state_dict, loss}` every save_interval
+(Train_model_frontend.py:107-113,340-353; utils/utils.py:534-549) and
+per-epoch `{epoch, net}` for SuperGlue (superpoint_glue_train.py:159-167),
+with manual `module.` prefix fixups for DataParallel. Here the whole
+TrainState pytree (params + batch_stats + opt state + step) round-trips
+through orbax, which restores arrays onto whatever mesh/sharding the
+template carries — the multi-host story comes for free.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from image_matching_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, state: TrainState, wait: bool = False) -> int:
+        step = int(state.step)
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if wait:
+            self._mgr.wait_until_finished()
+        return step
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure (and shardings) of `state`."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()

@@ -1,0 +1,105 @@
+"""CLI smoke tests (tiny configs, synthetic data, tmp dirs)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_cli(monkeypatch, module_main, argv):
+    monkeypatch.setattr(sys, "argv", argv)
+    module_main()
+
+
+class TestTrainSuperPointCLI:
+    def test_synthetic_smoke(self, monkeypatch, tmp_path):
+        from image_matching_tpu.cli.train_superpoint import main
+
+        run_cli(
+            monkeypatch, main,
+            [
+                "train_superpoint", "--synthetic",
+                "--run_dir", str(tmp_path / "run"),
+                "--train_iter", "2", "--batch_size", "2",
+                "--height", "64", "--width", "64",
+                "--descriptor_dim", "32",
+                "--tensorboard_interval", "1",
+                "--validation_interval", "2",
+                "--save_interval", "2",
+            ],
+        )
+        assert os.path.isdir(tmp_path / "run" / "checkpoints")
+
+
+class TestMatchPairCLI:
+    def test_ratio_matcher_smoke(self, monkeypatch, tmp_path):
+        import cv2
+
+        rng = np.random.default_rng(0)
+        img = (rng.uniform(0, 255, (96, 96))).astype(np.uint8)
+        img = cv2.blur(img, (5, 5))
+        tpl_path = str(tmp_path / "template.png")
+        src_dir = tmp_path / "sources"
+        src_dir.mkdir()
+        cv2.imwrite(tpl_path, img)
+        m = np.float32([[1, 0, 8], [0, 1, 8]])
+        warped = cv2.warpAffine(img, m, (96, 96))
+        cv2.imwrite(str(src_dir / "s1.png"), warped)
+
+        from image_matching_tpu.cli.match_pair import main
+
+        out = tmp_path / "out"
+        run_cli(
+            monkeypatch, main,
+            [
+                "match_pair",
+                "--template", tpl_path,
+                "--source_dir", str(src_dir),
+                "--out", str(out),
+                "--matcher", "ratio",
+                "--resize_scale", "1.0",
+                "--max_keypoints", "128",
+                "--keypoint_threshold", "0.0",
+                "--descriptor_dim", "32",
+            ],
+        )
+        assert (out / "s1_transform.txt").exists()
+        assert (out / "s1_matches.png").exists()
+        mat = np.loadtxt(out / "s1_transform.txt")
+        assert mat.shape == (2, 3)
+
+
+class TestExportPseudoCLI:
+    def test_export_smoke(self, monkeypatch, tmp_path):
+        import cv2
+
+        rng = np.random.default_rng(1)
+        for task in ("train",):
+            d = tmp_path / "data" / task
+            d.mkdir(parents=True)
+            for i in range(2):
+                cv2.imwrite(
+                    str(d / f"im{i}.png"),
+                    rng.uniform(0, 255, (64, 64)).astype(np.uint8),
+                )
+
+        from image_matching_tpu.cli.export_pseudo import main
+
+        run_cli(
+            monkeypatch, main,
+            [
+                "export_pseudo",
+                "--data_root", str(tmp_path / "data"),
+                "--out", str(tmp_path / "labels"),
+                "--height", "64", "--width", "64",
+                "--num_homographies", "4",
+                "--top_k", "64",
+                "--detection_threshold", "0.0",
+                "--descriptor_dim", "32",
+                "--batch_size", "2",
+            ],
+        )
+        files = os.listdir(tmp_path / "labels" / "train")
+        assert "im0.npz" in files and "im1.npz" in files
+        pts = np.load(tmp_path / "labels" / "train" / "im0.npz")["pts"]
+        assert pts.shape[1] == 3
