@@ -103,3 +103,40 @@ class TestExportPseudoCLI:
         assert "im0.npz" in files and "im1.npz" in files
         pts = np.load(tmp_path / "labels" / "train" / "im0.npz")["pts"]
         assert pts.shape[1] == 3
+
+
+class TestTraditionalCLI:
+    def test_sift_smoke(self, monkeypatch, tmp_path):
+        import cv2
+
+        rng = np.random.default_rng(2)
+        img = np.zeros((128, 128), np.float32)
+        for _ in range(30):
+            c = rng.uniform(16, 112, 2)
+            cv2.circle(img, (int(c[0]), int(c[1])), int(rng.uniform(2, 6)),
+                       float(rng.uniform(0.5, 1.0)), -1)
+        img8 = (img * 255).astype(np.uint8)
+        tpl_path = str(tmp_path / "template.png")
+        src_dir = tmp_path / "sources"
+        src_dir.mkdir()
+        cv2.imwrite(tpl_path, img8)
+        m = np.float32([[1, 0, 10], [0, 1, -5]])
+        cv2.imwrite(str(src_dir / "s1.png"), cv2.warpAffine(img8, m, (128, 128)))
+
+        from image_matching_tpu.cli.traditional import main
+
+        out = tmp_path / "out"
+        run_cli(
+            monkeypatch, main,
+            [
+                "traditional",
+                "--template", tpl_path,
+                "--source_dir", str(src_dir),
+                "--out", str(out),
+                "--method", "sift",
+                "--resize_scale", "1.0",
+            ],
+        )
+        mat = np.loadtxt(out / "s1_transform.txt")
+        assert mat.shape == (2, 3)
+        np.testing.assert_allclose(mat[:, 2], [10, -5], atol=3.0)
