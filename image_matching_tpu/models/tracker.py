@@ -1,0 +1,133 @@
+"""PointTracker — fixed-memory multi-frame track store, functional & jittable.
+
+Parity: `PointTracker` (superpoint/models/model_wrap.py:355-578): keep the
+last L frames of keypoints+descriptors, match each new frame to the
+previous one with two-way NN + distance threshold
+(`nn_match_two_way`, model_wrap.py:380-423), propagate persistent track
+ids, score tracks by averaged match confidence. The reference mutates a
+numpy (M, 2+L) matrix on the host; here the state is an explicit pytree
+of fixed-shape arrays and `update` is one jitted step, so tracking runs
+on-device inside a `lax.scan` over a video if desired.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from image_matching_tpu.ops.matching import match_mutual_nn
+from image_matching_tpu.structs import Keypoints
+
+
+@struct.dataclass
+class TrackerState:
+    """Ring buffer of the last L frames (newest at index L-1)."""
+
+    xy: jax.Array  # (L, K, 2)
+    desc: jax.Array  # (L, K, D)
+    mask: jax.Array  # (L, K)
+    track_ids: jax.Array  # (L, K) int32, -1 for invalid slots
+    track_score: jax.Array  # (L, K) running average match score
+    next_id: jax.Array  # () int32
+    frame_idx: jax.Array  # () int32
+
+    @property
+    def max_length(self) -> int:
+        return self.xy.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[1]
+
+
+def tracker_init(max_length: int, capacity: int, desc_dim: int) -> TrackerState:
+    l, k, d = max_length, capacity, desc_dim
+    return TrackerState(
+        xy=jnp.zeros((l, k, 2)),
+        desc=jnp.zeros((l, k, d)),
+        mask=jnp.zeros((l, k), bool),
+        track_ids=jnp.full((l, k), -1, jnp.int32),
+        track_score=jnp.zeros((l, k)),
+        next_id=jnp.zeros((), jnp.int32),
+        frame_idx=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("max_dist",))
+def tracker_update(
+    state: TrackerState, kpts: Keypoints, max_dist: float = 0.7
+) -> TrackerState:
+    """Ingest one frame: match to the previous frame, extend/spawn tracks.
+
+    `max_dist` is the descriptor L2 threshold (`nn_thresh`, the
+    reference's default 0.7, model_wrap.py:365)."""
+    k = state.capacity
+    prev_desc = state.desc[-1]
+    prev_mask = state.mask[-1]
+    prev_ids = state.track_ids[-1]
+    prev_scores = state.track_score[-1]
+
+    res = match_mutual_nn(
+        kpts.desc, prev_desc, kpts.mask, prev_mask, max_dist=max_dist
+    )
+    matched = res.matches0 >= 0  # (K,) new-frame slots matched to previous
+    prev_slot = jnp.maximum(res.matches0, 0)
+
+    inherited_ids = jnp.where(matched, prev_ids[prev_slot], -1)
+    # brand-new ids for unmatched valid keypoints
+    fresh_rank = jnp.cumsum((~matched & kpts.mask).astype(jnp.int32)) - 1
+    fresh_ids = state.next_id + fresh_rank
+    new_ids = jnp.where(
+        matched, inherited_ids, jnp.where(kpts.mask, fresh_ids, -1)
+    ).astype(jnp.int32)
+    n_new = jnp.sum(~matched & kpts.mask).astype(jnp.int32)
+
+    # running-average track score (reference: avg of match confidences)
+    inherited_score = jnp.where(matched, prev_scores[prev_slot], 0.0)
+    new_score = jnp.where(
+        matched, 0.5 * (inherited_score + res.scores0), kpts.score
+    )
+
+    roll = lambda buf, new: jnp.concatenate([buf[1:], new[None]], axis=0)
+    return state.replace(
+        xy=roll(state.xy, kpts.xy),
+        desc=roll(state.desc, kpts.desc),
+        mask=roll(state.mask, kpts.mask),
+        track_ids=roll(state.track_ids, new_ids),
+        track_score=roll(state.track_score, new_score),
+        next_id=state.next_id + n_new,
+        frame_idx=state.frame_idx + 1,
+    )
+
+
+def track_lengths(state: TrackerState) -> jax.Array:
+    """(K,) number of window frames each newest-frame track appears in."""
+    newest = state.track_ids[-1][None, :]  # (1, K)
+    present = (state.track_ids[:, :, None] == newest) & (newest >= 0)
+    return jnp.sum(jnp.any(present, axis=1), axis=0)
+
+
+def get_tracks(state: TrackerState, min_length: int = 2):
+    """Host-side extraction: list of (track_id, [(frame, x, y), ...]) for
+    tracks visible in the newest frame with ≥ min_length observations."""
+    import numpy as np
+
+    ids = np.asarray(state.track_ids)
+    xy = np.asarray(state.xy)
+    l = ids.shape[0]
+    newest = ids[-1]
+    out = []
+    frame0 = int(state.frame_idx) - l
+    for slot, tid in enumerate(newest):
+        if tid < 0:
+            continue
+        obs = []
+        for f in range(l):
+            hit = np.nonzero(ids[f] == tid)[0]
+            if len(hit):
+                obs.append((frame0 + f, float(xy[f, hit[0], 0]), float(xy[f, hit[0], 1])))
+        if len(obs) >= min_length:
+            out.append((int(tid), obs))
+    return out
