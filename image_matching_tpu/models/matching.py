@@ -40,6 +40,7 @@ class MatchingConfig:
     gnn_layers: int = struct.field(pytree_node=False, default=18)
     sinkhorn_iterations: int = struct.field(pytree_node=False, default=100)
     match_threshold: float = struct.field(pytree_node=False, default=0.2)
+    attention_impl: str = struct.field(pytree_node=False, default="einsum")
     # compute dtype for conv/attention matmuls ("float32" | "bfloat16")
     compute_dtype: str = struct.field(pytree_node=False, default="bfloat16")
 
@@ -75,6 +76,7 @@ class Matching(nn.Module):
             gnn_layers=cfg.gnn_layers,
             sinkhorn_iterations=cfg.sinkhorn_iterations,
             match_threshold=cfg.match_threshold,
+            attention_impl=cfg.attention_impl,
             dtype=cfg.dtype,
         )
 

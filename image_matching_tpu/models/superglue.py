@@ -45,11 +45,18 @@ def normalize_keypoints(
 
 
 class MultiHeadedAttention(nn.Module):
-    """4-head attention over masked keypoint sets (superglue_test.py:85-106)."""
+    """4-head attention over masked keypoint sets (superglue_test.py:85-106).
+
+    `impl`: "einsum" materialises the (N, M) scores per head (fastest at
+    the reference's N ≈ 1k, fully fused by XLA); "flash" uses the Pallas
+    blockwise online-softmax kernel (ops/pallas/attention.py) whose
+    memory is O(N·d) — the long-context path for 10⁴⁺ keypoints.
+    """
 
     num_heads: int
     dim: int
     dtype: jnp.dtype = jnp.float32
+    impl: str = "einsum"
 
     @nn.compact
     def __call__(
@@ -72,13 +79,25 @@ class MultiHeadedAttention(nn.Module):
         k = k.reshape(b, m, self.num_heads, d_head)
         v = v.reshape(b, m, self.num_heads, d_head)
 
-        logits = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) / (d_head ** 0.5)
-        if source_mask is not None:
-            logits = jnp.where(source_mask[:, None, None, :], logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+        if self.impl == "flash":
+            from image_matching_tpu.ops.pallas.attention import flash_attention
+
+            fold = lambda x: x.transpose(0, 2, 1, 3).reshape(
+                b * self.num_heads, -1, d_head
+            )
+            km = None
+            if source_mask is not None:
+                km = jnp.repeat(source_mask, self.num_heads, axis=0)
+            out = flash_attention(fold(q), fold(k), fold(v), km)
+            out = out.reshape(b, self.num_heads, n, d_head).transpose(0, 2, 1, 3)
+        else:
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            ) / (d_head ** 0.5)
+            if source_mask is not None:
+                logits = jnp.where(source_mask[:, None, None, :], logits, NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
         out = out.reshape(b, n, self.dim)
         return dense("merge")(out)
 
@@ -89,11 +108,13 @@ class AttentionalPropagation(nn.Module):
     dim: int
     num_heads: int = 4
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, source, x_mask, source_mask, train: bool = False):
         message = MultiHeadedAttention(
-            self.num_heads, self.dim, dtype=self.dtype, name="attn"
+            self.num_heads, self.dim, dtype=self.dtype,
+            impl=self.attention_impl, name="attn"
         )(x, source, source_mask)
         y = jnp.concatenate([x, message], axis=-1)
         return SeqMLP(
@@ -107,12 +128,14 @@ class AttentionalGNN(nn.Module):
     dim: int
     layer_names: Tuple[str, ...]
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, desc0, desc1, mask0, mask1, train: bool = False):
         for i, name in enumerate(self.layer_names):
             layer = AttentionalPropagation(
-                self.dim, dtype=self.dtype, name=f"layer_{i}_{name}"
+                self.dim, dtype=self.dtype,
+                attention_impl=self.attention_impl, name=f"layer_{i}_{name}"
             )
             if name == "cross":
                 src0, sm0 = desc1, mask1
@@ -142,6 +165,7 @@ class SuperGlue(nn.Module):
     sinkhorn_iterations: int = 100
     match_threshold: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "einsum"  # "einsum" | "flash"
 
     def _layer_names(self):
         return tuple(
@@ -174,7 +198,8 @@ class SuperGlue(nn.Module):
         desc1 = desc1 + kenc(enc_in1.astype(self.dtype), mask1, train)
 
         desc0, desc1 = AttentionalGNN(
-            d, self._layer_names(), dtype=self.dtype, name="gnn"
+            d, self._layer_names(), dtype=self.dtype,
+            attention_impl=self.attention_impl, name="gnn"
         )(desc0, desc1, mask0, mask1, train)
 
         final = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32, name="final_proj")

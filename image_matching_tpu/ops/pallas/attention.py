@@ -1,0 +1,173 @@
+"""Masked flash attention as a Pallas TPU kernel.
+
+The SuperGlue GNN runs 18 layers × 2 directions of full dense attention
+(superglue/models/superglue_test.py:85-89 — an N×M einsum per layer).
+At the reference's N ≈ 1200 XLA handles this fine, but the scores matrix
+is O(N²) per head and becomes the long-context bottleneck at 10⁴⁺
+keypoints (SURVEY.md §5). This kernel tiles Q and K/V with an online
+softmax so the scores tile never leaves VMEM, with key-validity masking
+(fixed-K padded sets) built in.
+
+Forward is the Pallas kernel; the backward pass recomputes attention
+with the XLA einsum path (cheap at these head dims, exact gradients) via
+custom_vjp — a dedicated backward kernel is a later-round optimization.
+
+Layout: q (B, Nq, D), k/v (B, Nkv, D), key_mask (B, Nkv) bool.
+B folds batch×heads. Masked logits get -1e9, matching
+models/superglue.py's einsum path bit-for-bit semantics.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+LANES = 128
+
+
+def attention_reference(q, k, v, key_mask=None, scale=None):
+    """XLA einsum attention with the same masking semantics (oracle +
+    backward path). q: (B, Nq, D); k, v: (B, Nk, D); key_mask: (B, Nk)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    logits = jnp.einsum(
+        "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if key_mask is not None:
+        logits = jnp.where(key_mask[:, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bnm,bmd->bnd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale: float, num_kv_blocks: int,
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    v = v_ref[0]
+    mask = mask_ref[0, 0]  # (block_k,) int32
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+    s = jnp.where(mask[None, :] > 0, s, NEG_INF)
+
+    m_prev = m_scratch[...]  # (block_q, LANES)
+    l_prev = l_scratch[...]
+
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+    m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
+    alpha = jnp.exp(m_prev - m_next)  # (block_q, LANES)
+    p = jnp.exp(s - m_next[:, :1])  # (block_q, block_k)
+    l_corr = alpha * l_prev
+    l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
+
+    m_scratch[...] = m_next
+    l_scratch[...] = l_next
+
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1]
+    acc_scratch[...] += jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        l_final = l_scratch[...][:, :1]
+        l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+)
+def flash_attention(
+    q, k, v, key_mask, scale=None, block_q: int = 128, block_k: int = 128
+):
+    """Masked flash attention. q (B, Nq, D), k/v (B, Nk, D),
+    key_mask (B, Nk) bool. Nq/Nk padded to block multiples internally."""
+    return _flash_forward(q, k, v, key_mask, scale, block_q, block_k)
+
+
+def _flash_forward(q, k, v, key_mask, scale, block_q, block_k):
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    scale_val = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    nq_pad = -(-nq // block_q) * block_q
+    nk_pad = -(-nk // block_k) * block_k
+    qp = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    if key_mask is None:
+        key_mask = jnp.ones((b, nk), bool)
+    mp = jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, nk_pad - nk)))
+    mp = mp[:, None, :]  # (B, 1, Nk): keeps the trailing block dims tileable
+
+    num_kv_blocks = nk_pad // block_k
+    grid = (b, nq_pad // block_q, num_kv_blocks)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale_val, num_kv_blocks=num_kv_blocks
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda b_, i, j: (b_, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        # run interpreted off-TPU so the CPU test mesh exercises the kernel
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp, mp)
+    return out[:, :nq]
+
+
+def _flash_fwd_rule(q, k, v, key_mask, scale, block_q, block_k):
+    out = _flash_forward(q, k, v, key_mask, scale, block_q, block_k)
+    return out, (q, k, v, key_mask)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, residuals, g):
+    q, k, v, key_mask = residuals
+
+    def ref(q_, k_, v_):
+        return attention_reference(q_, k_, v_, key_mask, scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
