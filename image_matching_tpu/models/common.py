@@ -32,9 +32,14 @@ class ConvBNReLU(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        # Training: f32 statistics for stable BN. Inference: BN is a pure
+        # affine — keep it in the compute dtype so XLA fuses it into the
+        # conv epilogue instead of round-tripping f32 tensors through HBM
+        # (at 640x480x64 the f32 intermediate alone is ~300 MB/batch).
+        bn_dtype = jnp.float32 if train else self.dtype
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, momentum=0.9
-        )(x.astype(jnp.float32))
+            use_running_average=not train, dtype=bn_dtype, momentum=0.9
+        )(x.astype(bn_dtype))
         return nn.relu(x).astype(self.dtype)
 
 

@@ -51,18 +51,22 @@ class SuperPointBN(nn.Module):
             f, (k, k), padding="SAME", dtype=self.dtype,
             param_dtype=jnp.float32, name=name,
         )
+        # f32 BN statistics in training; fused bf16 affine at inference
+        # (see ConvBNReLU) — heads run at Hc x Wc so this matters less
+        # than the backbone, but keep the policy uniform
+        bn_dtype = jnp.float32 if train else self.dtype
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32,
+            use_running_average=not train, dtype=bn_dtype,
             momentum=0.9, name=name,
         )
-        # Detector head: relu(BN(conv3x3)) -> BN(conv1x1) logits
-        cpa = nn.relu(bn("bnPa")(conv(c5, 3, "convPa")(x).astype(jnp.float32)))
-        semi = bn("bnPb")(conv(65, 1, "convPb")(cpa.astype(self.dtype)).astype(jnp.float32))
-        # Descriptor head
-        cda = nn.relu(bn("bnDa")(conv(c5, 3, "convDa")(x).astype(jnp.float32)))
+        cpa = nn.relu(bn("bnPa")(conv(c5, 3, "convPa")(x).astype(bn_dtype)))
+        semi = bn("bnPb")(
+            conv(65, 1, "convPb")(cpa.astype(self.dtype)).astype(bn_dtype)
+        ).astype(jnp.float32)
+        cda = nn.relu(bn("bnDa")(conv(c5, 3, "convDa")(x).astype(bn_dtype)))
         desc = bn("bnDb")(
-            conv(self.descriptor_dim, 1, "convDb")(cda.astype(self.dtype)).astype(jnp.float32)
-        )
+            conv(self.descriptor_dim, 1, "convDb")(cda.astype(self.dtype)).astype(bn_dtype)
+        ).astype(jnp.float32)
         desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
         return {"semi": semi, "desc_map": desc}
 
