@@ -1,0 +1,129 @@
+"""Evaluate the BASELINE.md pipeline configs on synthetic GT pairs.
+
+Configs (BASELINE.json):
+  1. sift   — SIFT + ratio-KNN + similarity RANSAC
+  2. orb    — ORB + Hamming cross-check + similarity RANSAC
+  3. sp     — SuperPoint + ratio-KNN + RANSAC
+  4. spsg   — SuperPoint + SuperGlue + RANSAC
+
+Usage:
+  python -m image_matching_tpu.cli.evaluate --configs sift orb \
+      [--sp_checkpoint runs/superpoint/checkpoints] \
+      [--n_pairs 50] [--out EVAL.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_matching_tpu.evaluation import evaluate_pipeline, make_eval_pairs
+from image_matching_tpu.features.registration import build_classical_registration_fn
+from image_matching_tpu.models.matching import Matching, MatchingConfig
+from image_matching_tpu.registration import build_registration_fn
+from image_matching_tpu.utils.logging import get_logger
+
+log = get_logger("evaluate")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--configs", nargs="+",
+                   default=["sift", "orb", "sp", "spsg"],
+                   choices=["sift", "orb", "sp", "spsg"])
+    p.add_argument("--n_pairs", type=int, default=50)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--sp_checkpoint", default=None)
+    p.add_argument("--descriptor_dim", type=int, default=128)
+    p.add_argument("--max_angle", type=float, default=0.25)
+    p.add_argument("--max_shift", type=float, default=24.0)
+    p.add_argument("--success_px", type=float, default=5.0)
+    p.add_argument("--out", default="EVAL.json")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def _sp_model_and_vars(args):
+    cfg = MatchingConfig(
+        backbone="bn",
+        descriptor_dim=args.descriptor_dim,
+        max_keypoints=512,
+        keypoint_threshold=0.001,
+        keypoint_encoder=(32, 64, 128) if args.descriptor_dim == 128
+        else (32, 64, 128, 256),
+        sinkhorn_iterations=30,
+        match_threshold=0.1,
+    )
+    model = Matching(cfg)
+    example = jnp.zeros((1, args.height, args.width, 1))
+    variables = model.init(jax.random.PRNGKey(0), example, example)
+    if args.sp_checkpoint:
+        from image_matching_tpu.models.superpoint import SuperPointBN
+        from image_matching_tpu.train import create_train_state
+        from image_matching_tpu.train.checkpoint import CheckpointManager
+
+        sp = SuperPointBN(descriptor_dim=args.descriptor_dim, dtype=jnp.bfloat16)
+        st = create_train_state(
+            jax.random.PRNGKey(0), sp, (example,), init_kwargs={"train": True}
+        )
+        st = CheckpointManager(args.sp_checkpoint).restore(st)
+        variables = jax.tree_util.tree_map(lambda x: x, variables)
+        variables = {
+            "params": {**variables["params"], "superpoint": st.params},
+            "batch_stats": {
+                **variables.get("batch_stats", {}),
+                "superpoint": st.batch_stats,
+            },
+        }
+        log.info("loaded SuperPoint weights @step %d", int(st.step))
+    return model, variables
+
+
+def main():
+    args = parse_args()
+    rng = np.random.default_rng(args.seed)
+    pairs = make_eval_pairs(
+        rng, args.n_pairs, args.height, args.width,
+        max_angle=args.max_angle, max_shift=args.max_shift,
+    )
+    log.info("%d synthetic pairs (%dx%d)", len(pairs), args.height, args.width)
+
+    results = {}
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    for name in args.configs:
+        t0 = time.perf_counter()
+        if name in ("sift", "orb"):
+            fn = jax.jit(build_classical_registration_fn(name))
+            res = evaluate_pipeline(fn, pairs, key, args.success_px, batched=False)
+        else:
+            model, variables = _sp_model_and_vars(args)
+            fn = jax.jit(
+                build_registration_fn(
+                    model,
+                    matcher="ratio" if name == "sp" else "superglue",
+                    ransac_threshold=5.0,
+                    min_match_count=8,
+                    produce_warp=False,
+                )
+            )
+            res = evaluate_pipeline(
+                lambda t, s, k: fn(variables, t, s, k),
+                pairs, key, args.success_px, batched=True,
+            )
+        res["wall_s_total"] = round(time.perf_counter() - t0, 2)
+        results[name] = res
+        log.info("%s: %s", name, json.dumps(res))
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    log.info("wrote %s", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Registration evaluation harness on synthetic GT sequences.
+
+The reference ships no benchmark data (its dataset images are unfetched
+LFS stubs, BASELINE.md) and publishes no numbers, so evaluation here is
+on procedurally generated template/source pairs with *exact* ground
+truth: a textured template, a sampled similarity or homography, and the
+warped source. Metrics per pipeline config (the BASELINE.md table):
+
+  * success rate — fit valid and mean corner error < threshold,
+  * mean/median corner error (px) of the estimated vs GT transform,
+  * matches / inliers per pair.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class EvalPair(NamedTuple):
+    template: np.ndarray  # (H, W, 1) float32
+    source: np.ndarray  # (H, W, 1)
+    gt_matrix: np.ndarray  # (2, 3) similarity mapping template -> source
+
+
+def make_eval_pairs(
+    rng: np.random.Generator,
+    n_pairs: int,
+    height: int = 240,
+    width: int = 320,
+    max_angle: float = 0.25,
+    scale_range=(0.9, 1.1),
+    max_shift: float = 24.0,
+    texture: str = "blobs",
+) -> List[EvalPair]:
+    import cv2
+
+    pairs = []
+    for _ in range(n_pairs):
+        img = np.zeros((height, width), np.float32)
+        if texture == "blobs":
+            for _ in range(60):
+                c = rng.uniform([12, 12], [width - 12, height - 12])
+                cv2.circle(
+                    img, (int(c[0]), int(c[1])), int(rng.uniform(2, 7)),
+                    float(rng.uniform(0.3, 1.0)), -1,
+                )
+        else:
+            img = rng.uniform(0, 1, (height, width)).astype(np.float32)
+            img = cv2.GaussianBlur(img, (0, 0), 2.0)
+            img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+        img = cv2.GaussianBlur(img, (0, 0), 1.0)
+
+        ang = rng.uniform(-max_angle, max_angle)
+        sc = rng.uniform(*scale_range)
+        tx, ty = rng.uniform(-max_shift, max_shift, 2)
+        c, s = np.cos(ang) * sc, np.sin(ang) * sc
+        cx, cy = width / 2, height / 2
+        mat = np.float32(
+            [
+                [c, -s, tx + cx - c * cx + s * cy],
+                [s, c, ty + cy - s * cx - c * cy],
+            ]
+        )
+        src = cv2.warpAffine(img, mat, (width, height))
+        pairs.append(EvalPair(img[..., None], src[..., None], mat))
+    return pairs
+
+
+def corner_error(est: np.ndarray, gt: np.ndarray, height: int, width: int) -> float:
+    """Mean distance between the four image corners mapped by est vs gt."""
+    corners = np.array(
+        [[0, 0], [width - 1, 0], [0, height - 1], [width - 1, height - 1]],
+        np.float32,
+    )
+    if est.shape == (3, 3):
+        import cv2
+
+        pe = cv2.perspectiveTransform(corners[None].astype(np.float64), est.astype(np.float64))[0]
+    else:
+        pe = corners @ est[:, :2].T + est[:, 2]
+    pg = corners @ gt[:, :2].T + gt[:, 2]
+    return float(np.mean(np.linalg.norm(pe - pg, axis=-1)))
+
+
+def evaluate_pipeline(
+    register_fn: Callable,  # (template, source, key) -> RegistrationResult
+    pairs: List[EvalPair],
+    key: jax.Array,
+    success_px: float = 5.0,
+    batched: bool = False,
+) -> Dict:
+    """Run a registration fn over eval pairs, aggregate metrics."""
+    errors, matches, inliers, valids = [], [], [], []
+    h, w = pairs[0].template.shape[:2]
+    for p in pairs:
+        key, k = jax.random.split(key)
+        if batched:
+            res = register_fn(
+                jnp.asarray(p.template)[None], jnp.asarray(p.source)[None], k
+            )
+            fit_valid = bool(res.fit.valid[0])
+            mat = np.asarray(res.fit.matrix[0])
+            n_match = int(res.matches.num_matches()[0])
+            n_inl = int(res.fit.num_inliers[0])
+        else:
+            res = register_fn(
+                jnp.asarray(p.template), jnp.asarray(p.source), k
+            )
+            fit_valid = bool(res.fit.valid)
+            mat = np.asarray(res.fit.matrix)
+            n_match = int(res.matches.num_matches())
+            n_inl = int(res.fit.num_inliers)
+        err = corner_error(mat, p.gt_matrix, h, w) if fit_valid else np.inf
+        errors.append(err)
+        matches.append(n_match)
+        inliers.append(n_inl)
+        valids.append(fit_valid)
+
+    errors = np.asarray(errors)
+    ok = errors < success_px
+    return {
+        "n_pairs": len(pairs),
+        "success_rate": float(np.mean(ok)),
+        "mean_corner_err_px": float(np.mean(errors[ok])) if ok.any() else None,
+        "median_corner_err_px": float(np.median(errors[np.isfinite(errors)]))
+        if np.isfinite(errors).any()
+        else None,
+        "mean_matches": float(np.mean(matches)),
+        "mean_inliers": float(np.mean(inliers)),
+        "fit_valid_rate": float(np.mean(valids)),
+    }

@@ -108,10 +108,16 @@ def make_superglue_train_step(
             key, sp_model, sp_variables, images, cfg
         )
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, new_bs)), grads = grad_fn(
+        (loss, (metrics, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, kp0, kp1, gt0, gt1, shape
         )
-        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        # skip-update guard on non-finite loss (see superpoint_trainer)
+        ok = jnp.isfinite(loss)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_state, state
+        )
+        metrics["skipped_nonfinite"] = (~ok).astype(jnp.int32)
         return state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

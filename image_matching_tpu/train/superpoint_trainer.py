@@ -102,10 +102,18 @@ def make_superpoint_train_step(
 
     def step(state: TrainState, batch: dict, key: jax.Array):
         grad_fn = jax.value_and_grad(superpoint_loss_fn, has_aux=True)
-        (_, (metrics, new_bs)), grads = grad_fn(
+        (loss, (metrics, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, model, batch, key, cfg, True
         )
-        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        # failure guard: skip the update on a non-finite loss (a bad batch
+        # must not poison the params — the reference has no such guard,
+        # SURVEY.md §5 "failure detection")
+        ok = jnp.isfinite(loss)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_state, state
+        )
+        metrics["skipped_nonfinite"] = (~ok).astype(jnp.int32)
         return state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
