@@ -63,24 +63,12 @@ def _sp_model_and_vars(args):
     example = jnp.zeros((1, args.height, args.width, 1))
     variables = model.init(jax.random.PRNGKey(0), example, example)
     if args.sp_checkpoint:
-        from image_matching_tpu.models.superpoint import SuperPointBN
-        from image_matching_tpu.train import create_train_state
-        from image_matching_tpu.train.checkpoint import CheckpointManager
+        from image_matching_tpu.train.checkpoint import load_submodule_checkpoints
 
-        sp = SuperPointBN(descriptor_dim=args.descriptor_dim, dtype=jnp.bfloat16)
-        st = create_train_state(
-            jax.random.PRNGKey(0), sp, (example,), init_kwargs={"train": True}
+        variables = load_submodule_checkpoints(
+            model, variables, cfg, example, sp_checkpoint=args.sp_checkpoint
         )
-        st = CheckpointManager(args.sp_checkpoint).restore(st)
-        variables = jax.tree_util.tree_map(lambda x: x, variables)
-        variables = {
-            "params": {**variables["params"], "superpoint": st.params},
-            "batch_stats": {
-                **variables.get("batch_stats", {}),
-                "superpoint": st.batch_stats,
-            },
-        }
-        log.info("loaded SuperPoint weights @step %d", int(st.step))
+        log.info("loaded SuperPoint weights from %s", args.sp_checkpoint)
     return model, variables
 
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_matching_tpu.data.datasets import SSHIDataset
+from image_matching_tpu.train.checkpoint import load_submodule_checkpoints
 from image_matching_tpu.models.matching import Matching, MatchingConfig
 from image_matching_tpu.registration import (
     affine_to_homography,
@@ -42,7 +43,10 @@ def parse_args():
     p.add_argument("--out", required=True)
     p.add_argument("--matcher", default="ratio", choices=["ratio", "superglue"])
     p.add_argument("--backbone", default="bn", choices=["bn", "vgg"])
-    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--sp_checkpoint", default=None,
+                   help="SuperPoint trainer checkpoint dir")
+    p.add_argument("--sg_checkpoint", default=None,
+                   help="SuperGlue trainer checkpoint dir")
     p.add_argument("--descriptor_dim", type=int, default=128)
     p.add_argument("--resize_scale", type=float, default=0.25)
     p.add_argument("--max_keypoints", type=int, default=1200)
@@ -88,18 +92,10 @@ def main():
     h, w = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
     example = jnp.zeros((1, h, w, 1))
     variables = model.init(jax.random.PRNGKey(0), example, example)
-    if args.checkpoint:
-        from image_matching_tpu.train import create_train_state
-        from image_matching_tpu.train.checkpoint import CheckpointManager
-
-        # restore SuperPoint and/or SuperGlue params saved by the trainers
-        state = create_train_state(
-            jax.random.PRNGKey(0), model, (example, example),
-            init_kwargs={}
-        )
-        state = CheckpointManager(args.checkpoint).restore(state)
-        variables = state.variables
-        log.info("restored %s @%d", args.checkpoint, int(state.step))
+    variables = load_submodule_checkpoints(
+        model, variables, cfg, example,
+        sp_checkpoint=args.sp_checkpoint, sg_checkpoint=args.sg_checkpoint,
+    )
 
     register = jax.jit(
         build_registration_fn(

@@ -62,9 +62,6 @@ def _speckle_noise(key, img, cfg):
     return img
 
 
-_MOTION_KERNELS = None
-
-
 def _motion_kernels(ksize: int) -> jax.Array:
     """Line kernels at 4 orientations (h, v, two diagonals)."""
     k = ksize

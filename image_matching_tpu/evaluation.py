@@ -39,13 +39,16 @@ def make_eval_pairs(
 
     pairs = []
     for _ in range(n_pairs):
-        img = np.zeros((height, width), np.float32)
         if texture == "blobs":
+            # blobs over a low-contrast noise bed: distinctive local
+            # texture (pure identical circles defeat any ratio test)
+            img = rng.uniform(0, 0.35, (height, width)).astype(np.float32)
+            img = cv2.GaussianBlur(img, (0, 0), 1.5)
             for _ in range(60):
                 c = rng.uniform([12, 12], [width - 12, height - 12])
                 cv2.circle(
                     img, (int(c[0]), int(c[1])), int(rng.uniform(2, 7)),
-                    float(rng.uniform(0.3, 1.0)), -1,
+                    float(rng.uniform(0.4, 1.0)), -1,
                 )
         else:
             img = rng.uniform(0, 1, (height, width)).astype(np.float32)

@@ -30,7 +30,9 @@ class SIFTConfig(NamedTuple):
     n_octaves: int = 4
     scales_per_octave: int = 3  # DoG layers searched per octave
     sigma0: float = 1.6
-    contrast_threshold: float = 0.0133  # ~0.04/3, OpenCV's per-layer scaling
+    # OpenCV's analogue is ~0.04/3 on [0,1] images; 0.006 measured better
+    # on the synthetic eval regime (success 0.75 -> 1.00, see EVAL.md)
+    contrast_threshold: float = 0.006
     edge_threshold: float = 10.0
     max_keypoints: int = 1024
     per_octave_cap: int = 512

@@ -71,3 +71,76 @@ class CheckpointManager:
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()
+
+
+def load_submodule_checkpoints(
+    model,
+    variables: dict,
+    cfg,
+    example_image,
+    sp_checkpoint: Optional[str] = None,
+    sg_checkpoint: Optional[str] = None,
+) -> dict:
+    """Merge trainer-saved SuperPoint / SuperGlue states into a composed
+    `Matching` model's variables.
+
+    The trainers checkpoint each sub-model's own TrainState (the way the
+    reference saves separate superPointNet_*.pth.tar and SuperGlue
+    epoch files); the eval CLIs compose them back under the Matching
+    module's `superpoint` / `superglue` scopes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from image_matching_tpu.models.superglue import SuperGlue
+    from image_matching_tpu.models.superpoint import SuperPointBN, SuperPointVGG
+    from image_matching_tpu.train.state import create_train_state
+
+    params = dict(variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+
+    if sp_checkpoint:
+        sp_cls = SuperPointBN if cfg.backbone == "bn" else SuperPointVGG
+        sp = sp_cls(descriptor_dim=cfg.descriptor_dim, dtype=cfg.dtype)
+        st = create_train_state(
+            jax.random.PRNGKey(0), sp, (example_image,),
+            init_kwargs={"train": True},
+        )
+        st = CheckpointManager(sp_checkpoint).restore(st)
+        params["superpoint"] = st.params
+        if st.batch_stats is not None:
+            batch_stats["superpoint"] = st.batch_stats
+
+    if sg_checkpoint:
+        from image_matching_tpu.structs import Keypoints
+
+        sg = SuperGlue(
+            descriptor_dim=cfg.descriptor_dim,
+            keypoint_encoder=cfg.keypoint_encoder,
+            gnn_layers=cfg.gnn_layers,
+            sinkhorn_iterations=cfg.sinkhorn_iterations,
+            match_threshold=cfg.match_threshold,
+            attention_impl=cfg.attention_impl,
+            dtype=cfg.dtype,
+        )
+        k = 8
+        kp = Keypoints(
+            xy=jnp.zeros((1, k, 2)),
+            score=jnp.zeros((1, k)),
+            mask=jnp.ones((1, k), bool),
+            desc=jnp.zeros((1, k, cfg.descriptor_dim)),
+        )
+        shape = (example_image.shape[1], example_image.shape[2])
+        st = create_train_state(
+            jax.random.PRNGKey(0), sg, (kp, kp, shape, shape),
+            init_kwargs={"train": True},
+        )
+        st = CheckpointManager(sg_checkpoint).restore(st)
+        params["superglue"] = st.params
+        if st.batch_stats is not None:
+            batch_stats["superglue"] = st.batch_stats
+
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
