@@ -17,7 +17,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from image_matching_tpu.data.datasets import ALLSSDataset
 from image_matching_tpu.export import ExportConfig, make_export_fn

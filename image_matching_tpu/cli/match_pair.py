@@ -25,7 +25,6 @@ from image_matching_tpu.data.datasets import SSHIDataset
 from image_matching_tpu.train.checkpoint import load_submodule_checkpoints
 from image_matching_tpu.models.matching import Matching, MatchingConfig
 from image_matching_tpu.registration import (
-    affine_to_homography,
     build_registration_fn,
     rescale_transform,
 )

@@ -87,6 +87,10 @@ def main():
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         log.info("resumed from step %d", int(state.step))
+    # replicate across the mesh (restore may place arrays on one device)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
 
     pair_cfg = WarpedPairConfig()
     loss_cfg = SuperPointLossConfig()

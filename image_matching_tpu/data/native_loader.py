@@ -10,7 +10,6 @@ data/datasets.py when the toolchain is unavailable.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Tuple

@@ -12,7 +12,7 @@ warped source. Metrics per pipeline config (the BASELINE.md table):
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, NamedTuple, Optional
+from typing import Callable, Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ XLA program that also vmaps over a batch of images and shards over a
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -10,7 +10,6 @@ Hamming matmul matcher.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple
 

@@ -8,10 +8,7 @@ is one jitted program over the framework's JAX detectors and matchers.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 
 from image_matching_tpu.features.orb import ORBConfig, orb_detect_and_describe
 from image_matching_tpu.features.sift import SIFTConfig, sift_detect_and_describe
@@ -22,7 +19,6 @@ from image_matching_tpu.ops.matching import (
 )
 from image_matching_tpu.ops.ransac import ransac_similarity
 from image_matching_tpu.registration import RegistrationResult
-from image_matching_tpu.structs import Keypoints
 
 MIN_MATCH_COUNT = 10  # Traditional/registration.py:4
 

@@ -12,7 +12,6 @@ axis only (u updates stay local).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ similarity/homography + warped image come out of one compiled function.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -18,7 +17,7 @@ from flax import struct
 
 from image_matching_tpu.geometry.homography import invert_homography
 from image_matching_tpu.geometry.warp import warp_image
-from image_matching_tpu.models.matching import Matching, MatchingConfig
+from image_matching_tpu.models.matching import Matching
 from image_matching_tpu.models.superglue import match_result_from_outputs
 from image_matching_tpu.ops.matching import (
     gather_matched_points,

@@ -11,7 +11,7 @@ config-5 pipeline, measurable by ATE against synthetic GT.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

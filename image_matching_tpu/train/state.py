@@ -7,12 +7,11 @@ and sharding/checkpointing are mechanical.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 
 @struct.dataclass

@@ -13,7 +13,7 @@ merged config into the run directory the way the reference does
 from __future__ import annotations
 
 import os
-from typing import Any, Mapping, Optional
+from typing import Mapping, Optional
 
 import yaml
 
