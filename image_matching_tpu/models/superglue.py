@@ -132,6 +132,10 @@ class AttentionalGNN(nn.Module):
 
     @nn.compact
     def __call__(self, desc0, desc1, mask0, mask1, train: bool = False):
+        # Note: each layer applies the same weights to both directions
+        # (superglue_test.py:134). Folding both sides into one doubled
+        # batch was measured SLOWER on v5e (the per-layer concat/slice
+        # copies outweigh the launch savings), so keep two calls.
         for i, name in enumerate(self.layer_names):
             layer = AttentionalPropagation(
                 self.dim, dtype=self.dtype,
