@@ -55,6 +55,8 @@ def parse_args():
     p.add_argument("--match_threshold", type=float, default=0.1)
     p.add_argument("--ratio", type=float, default=0.7)
     p.add_argument("--ransac_threshold", type=float, default=7.0)
+    p.add_argument("--ransac_model", default="similarity",
+                   choices=["similarity", "homography"])
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -101,6 +103,7 @@ def main():
             model,
             matcher=args.matcher,
             ratio=args.ratio,
+            ransac_model=args.ransac_model,
             ransac_threshold=args.ransac_threshold,
             min_match_count=MIN_MATCH_COUNT,
         )
