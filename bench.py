@@ -36,6 +36,9 @@ N_SMALL, N_LARGE = 4, 12
 
 def main() -> None:
     from image_matching_tpu.models.matching import Matching, MatchingConfig
+    from image_matching_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = MatchingConfig(
         backbone="bn",

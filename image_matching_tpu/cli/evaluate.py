@@ -73,6 +73,9 @@ def _sp_model_and_vars(args):
 
 
 def main():
+    from image_matching_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args()
     rng = np.random.default_rng(args.seed)
     pairs = make_eval_pairs(

@@ -47,6 +47,9 @@ def parse_args():
 
 
 def main():
+    from image_matching_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args()
     ds = ALLSSDataset(args.data_root, args.task, resize=(args.height, args.width))
     log.info("%d images in %s/%s", len(ds), args.data_root, args.task)

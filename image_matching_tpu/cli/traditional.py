@@ -46,6 +46,9 @@ def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def main():
+    from image_matching_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args()
     ds = SSHIDataset(args.template, args.source_dir, args.resize_scale)
     os.makedirs(args.out, exist_ok=True)

@@ -58,6 +58,9 @@ def parse_args():
 
 
 def main():
+    from image_matching_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args()
     mesh = make_data_mesh(args.batch_size)
     log.info("devices: %s", jax.devices())
