@@ -78,6 +78,29 @@ def save_image(path: str, image: np.ndarray) -> None:
     cv2.imwrite(path, image)
 
 
+def draw_tracks(image: np.ndarray, tracks, color_by_id: bool = True) -> np.ndarray:
+    """Polyline overlay of multi-frame tracks on the newest frame —
+    PointTracker's `draw_tracks` (model_wrap.py:546-578). `tracks` is the
+    output of models/tracker.get_tracks: [(track_id, [(frame, x, y), ...])]."""
+    out = cv2.cvtColor(_to_u8(image), cv2.COLOR_GRAY2BGR)
+    for tid, obs in tracks:
+        if color_by_id:
+            hue = (tid * 37) % 180
+            color = tuple(
+                int(c)
+                for c in cv2.cvtColor(
+                    np.uint8([[[hue, 255, 255]]]), cv2.COLOR_HSV2BGR
+                )[0, 0]
+            )
+        else:
+            color = (0, 255, 0)
+        pts = [(int(round(x)), int(round(y))) for _, x, y in obs]
+        for p0, p1 in zip(pts[:-1], pts[1:]):
+            cv2.line(out, p0, p1, color, 1, lineType=cv2.LINE_AA)
+        cv2.circle(out, pts[-1], 2, color, -1, lineType=cv2.LINE_AA)
+    return out
+
+
 def heatmap_overlay(image: np.ndarray, heatmap: np.ndarray) -> np.ndarray:
     """Detector heatmap overlay for TB-style diagnostics
     (Train_model_frontend.py:446-502)."""
