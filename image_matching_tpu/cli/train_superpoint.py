@@ -146,6 +146,27 @@ def main():
                 if writer:
                     for k_, v in vm.items():
                         writer.add_scalar(f"val/{k_}", float(v), step)
+                    # heatmap overlay + param histograms, the reference's
+                    # TB diagnostics (Train_model_frontend.py:430-502)
+                    from image_matching_tpu.geometry.labels import flatten_detection
+                    from image_matching_tpu.utils.viz import heatmap_overlay
+
+                    semi = model.apply(state.variables, vbatch["image"])["semi"]
+                    heat = np.asarray(flatten_detection(semi)[0])
+                    overlay = heatmap_overlay(np.asarray(vbatch["image"][0]), heat)
+                    writer.add_image(
+                        "val/heatmap_overlay", overlay[..., ::-1], step,
+                        dataformats="HWC",
+                    )
+                    for pname, leaf in jax.tree_util.tree_leaves_with_path(
+                        state.params
+                    )[:8]:
+                        label = "/".join(
+                            getattr(x, "key", str(x)) for x in pname
+                        )
+                        writer.add_histogram(
+                            f"params/{label}", np.asarray(leaf), step
+                        )
 
             if step % args.save_interval == 0:
                 ckpt.save(state)
