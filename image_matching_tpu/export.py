@@ -38,6 +38,9 @@ class ExportConfig(NamedTuple):
     nms_radius: int = 4
     subpixel: bool = True
     subpixel_patch: int = 5
+    # suppress pixels observed by fewer than this many warped views
+    # (homography_adaptation.filter_counts, yaml:16)
+    filter_counts: int = 0
     homography: HomographyConfig = HomographyConfig(
         scaling_amplitude=0.2,
         perspective_amplitude_x=0.2,
@@ -70,7 +73,11 @@ def homographic_adaptation_heatmap(
 
     semi = apply_fn(views)
     heatmaps = flatten_detection(semi)
-    return combine_heatmaps(heatmaps, hs, masks)
+    agg = combine_heatmaps(heatmaps, hs, masks)
+    if cfg.filter_counts > 0:
+        counts = jnp.sum(warp_image(masks, hs, mode="nearest"), axis=0)
+        agg = jnp.where(counts >= cfg.filter_counts, agg, 0.0)
+    return agg
 
 
 def export_pseudo_labels(
