@@ -52,6 +52,8 @@ def parse_args():
     p.add_argument("--tensorboard_interval", type=int, default=200)
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--width", type=int, default=320)
+    p.add_argument("--native_loader", action="store_true",
+                   help="decode images through the C++ threaded loader")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
@@ -77,7 +79,9 @@ def main():
         val_ds = ALLSSDataset(
             args.data_root, "val", args.labels, resize=(args.height, args.width)
         )
-        train_iter = train_ds.batches(args.batch_size, seed=args.seed)
+        train_iter = train_ds.batches(
+            args.batch_size, seed=args.seed, native=args.native_loader
+        )
         val_iter = val_ds.batches(args.batch_size, shuffle=False)
 
     model = SuperPointBN(descriptor_dim=args.descriptor_dim, dtype=jnp.bfloat16)

@@ -106,8 +106,48 @@ class ALLSSDataset:
             sample["points_mask"] = mask
         return sample
 
+    def _load_points(self, idx: int):
+        npz = os.path.join(
+            self.labels_dir, Path(self.files[idx]).stem + ".npz"
+        )
+        pts = np.load(npz)["pts"]
+        return pad_points(pts[:, :2].astype(np.float32), self.max_points)
+
     def batches(self, batch_size: int, shuffle: bool = True,
-                seed: int = 0, drop_last: bool = True) -> Iterator[dict]:
+                seed: int = 0, drop_last: bool = True,
+                native: bool = False, n_threads: int = 4) -> Iterator[dict]:
+        """Batch iterator. `native=True` decodes/resizes through the C++
+        threaded prefetch loader (native/imloader) instead of cv2 —
+        labels (if any) are still read per-index from their .npz files."""
+        if native:
+            from image_matching_tpu.data.native_loader import NativeImageLoader
+
+            loader = NativeImageLoader(
+                self.files, self.resize[0], self.resize[1],
+                n_threads=n_threads, loop=True, seed=seed,
+            )
+            try:
+                while True:
+                    images, idxs = loader.next_batch(batch_size)
+                    if len(images) < batch_size and drop_last:
+                        continue
+                    batch = {"image": images}
+                    ok = idxs >= 0
+                    idxs = np.where(ok, idxs, 0)
+                    if self.labels_dir:
+                        pts = [self._load_points(int(i)) for i in idxs]
+                        batch["points"] = np.stack([p[0] for p in pts])
+                        batch["points_mask"] = np.stack(
+                            [p[1] & o for p, o in zip(pts, ok)]
+                        )
+                    batch["names"] = [
+                        Path(self.files[int(i)]).stem for i in idxs
+                    ]
+                    yield batch
+            finally:
+                loader.close()
+            return
+
         order = np.arange(len(self))
         rng = np.random.default_rng(seed)
         while True:

@@ -90,3 +90,31 @@ class TestLoader:
         loader.close()
         assert any(i < 0 for i in idx)  # failure marked
         assert any(i >= 0 for i in idx)
+
+
+class TestALLSSNativeBackend:
+    def test_native_batches_with_labels(self, tmp_path, image_files):
+        import shutil
+
+        from image_matching_tpu.data.datasets import ALLSSDataset
+
+        root = tmp_path / "data" / "train"
+        labels = tmp_path / "labels" / "train"
+        root.mkdir(parents=True)
+        labels.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i, src in enumerate(image_files[:4]):
+            dst = root / f"im{i}.png"
+            shutil.copy(src, dst)
+            pts = rng.uniform(0, 30, (10, 3)).astype(np.float32)
+            np.savez(labels / f"im{i}.npz", pts=pts)
+
+        ds = ALLSSDataset(
+            str(tmp_path / "data"), "train", str(tmp_path / "labels"),
+            resize=(32, 40), max_points=16,
+        )
+        it = ds.batches(2, native=True, n_threads=2)
+        batch = next(it)
+        assert batch["image"].shape == (2, 32, 40, 1)
+        assert batch["points"].shape == (2, 16, 2)
+        assert batch["points_mask"][:, :10].all()
