@@ -95,6 +95,114 @@ def _flash_kernel(
         o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
+def _flash_kernel_with_lse(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale: float, num_kv_blocks: int,
+):
+    """Forward that also emits the log-sum-exp rows for the backward."""
+    _flash_kernel(
+        q_ref, k_ref, v_ref, mask_ref, o_ref,
+        m_scratch, l_scratch, acc_scratch,
+        scale=scale, num_kv_blocks=num_kv_blocks,
+    )
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store_lse():
+        m_final = m_scratch[...][:, :1]
+        l_final = l_scratch[...][:, :1]
+        lse = m_final + jnp.log(jnp.maximum(l_final, 1e-38))
+        lse_ref[0, 0] = lse[:, 0]
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, scale: float, num_q_blocks: int,
+):
+    """Accumulate dK/dV for one KV block over all Q blocks (innermost)."""
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
+        dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    v = v_ref[0]
+    mask = mask_ref[0, 0]  # (block_k,)
+    do = do_ref[0].astype(jnp.float32)  # (block_q, d)
+    lse = lse_ref[0, 0][:, None]  # (block_q, 1)
+    delta = delta_ref[0, 0][:, None]  # (block_q, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(mask[None, :] > 0, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (block_q, block_k)
+
+    dv_scratch[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # pᵀ dO
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, block_k)
+    ds = p * (dp - delta) * scale
+    dk_scratch[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # dsᵀ q
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scratch,
+    *, scale: float, num_kv_blocks: int,
+):
+    """Accumulate dQ for one Q block over all KV blocks (innermost)."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros(dq_scratch.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    mask = mask_ref[0, 0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(mask[None, :] > 0, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta) * scale
+    dq_scratch[...] += jax.lax.dot(
+        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6)
 )
@@ -154,19 +262,161 @@ def _flash_forward(q, k, v, key_mask, scale, block_q, block_k):
     return out[:, :nq]
 
 
+def _pad_inputs(q, k, v, key_mask, block_q, block_k):
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    nq_pad = -(-nq // block_q) * block_q
+    nk_pad = -(-nk // block_k) * block_k
+    qp = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    if key_mask is None:
+        key_mask = jnp.ones((b, nk), bool)
+    mp = jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, nk_pad - nk)))[:, None, :]
+    return qp, kp, vp, mp, nq_pad, nk_pad
+
+
+def _flash_forward_with_lse(q, k, v, key_mask, scale, block_q, block_k):
+    b, nq, d = q.shape
+    scale_val = scale if scale is not None else 1.0 / math.sqrt(d)
+    qp, kp, vp, mp, nq_pad, nk_pad = _pad_inputs(q, k, v, key_mask, block_q, block_k)
+    num_kv_blocks = nk_pad // block_k
+    grid = (b, nq_pad // block_q, num_kv_blocks)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_with_lse, scale=scale_val, num_kv_blocks=num_kv_blocks
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, 1, nq_pad), jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda b_, i, j: (b_, 0, j)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b_, i, j: (b_, 0, i)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp, mp)
+    return out[:, :nq], lse
+
+
+def _flash_backward(q, k, v, key_mask, lse, out, g, scale, block_q, block_k):
+    """Pallas backward: dk/dv over a (b, kv, q) grid, dq over (b, q, kv)."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    scale_val = scale if scale is not None else 1.0 / math.sqrt(d)
+    qp, kp, vp, mp, nq_pad, nk_pad = _pad_inputs(q, k, v, key_mask, block_q, block_k)
+    gp = jnp.pad(g, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    # delta = rowsum(dO * O) — cheap elementwise, computed in XLA
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )
+    dp_pad = jnp.pad(delta, ((0, 0), (0, nq_pad - nq)))[:, None, :]
+    # padded query rows: lse is 0 there, s = 0 - 0 → p = exp(0 - 0)=1?
+    # guard: set their lse to +inf so p = 0 in the backward recompute
+    row_pad_mask = jnp.arange(nq_pad) < nq
+    lse_pad = jnp.where(row_pad_mask[None, None, :], lse, jnp.inf)
+
+    num_q_blocks = nq_pad // block_q
+    num_kv_blocks = nk_pad // block_k
+    interp = jax.default_backend() != "tpu"
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale_val, num_q_blocks=num_q_blocks
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nk_pad, d), jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, num_kv_blocks, num_q_blocks),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b_, j, i: (b_, i, 0)),  # q
+                pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0)),  # k
+                pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0)),  # v
+                pl.BlockSpec((1, 1, block_k), lambda b_, j, i: (b_, 0, j)),  # mask
+                pl.BlockSpec((1, block_q, d), lambda b_, j, i: (b_, i, 0)),  # dO
+                pl.BlockSpec((1, 1, block_q), lambda b_, j, i: (b_, 0, i)),  # lse
+                pl.BlockSpec((1, 1, block_q), lambda b_, j, i: (b_, 0, i)),  # delta
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(qp, kp, vp, mp, gp, lse_pad, dp_pad)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale_val, num_kv_blocks=num_kv_blocks
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, d), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, num_q_blocks, num_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),  # q
+                pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),  # k
+                pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),  # v
+                pl.BlockSpec((1, 1, block_k), lambda b_, i, j: (b_, 0, j)),  # mask
+                pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),  # dO
+                pl.BlockSpec((1, 1, block_q), lambda b_, i, j: (b_, 0, i)),  # lse
+                pl.BlockSpec((1, 1, block_q), lambda b_, i, j: (b_, 0, i)),  # delta
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(qp, kp, vp, mp, gp, lse_pad, dp_pad)
+
+    return (
+        dq[:, :nq].astype(q.dtype),
+        dk[:, :nk].astype(k.dtype),
+        dv[:, :nk].astype(v.dtype),
+    )
+
+
 def _flash_fwd_rule(q, k, v, key_mask, scale, block_q, block_k):
-    out = _flash_forward(q, k, v, key_mask, scale, block_q, block_k)
-    return out, (q, k, v, key_mask)
+    out, lse = _flash_forward_with_lse(q, k, v, key_mask, scale, block_q, block_k)
+    return out, (q, k, v, key_mask, lse, out)
 
 
 def _flash_bwd_rule(scale, block_q, block_k, residuals, g):
-    q, k, v, key_mask = residuals
-
-    def ref(q_, k_, v_):
-        return attention_reference(q_, k_, v_, key_mask, scale)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, key_mask, lse, out = residuals
+    dq, dk, dv = _flash_backward(
+        q, k, v, key_mask, lse, out, g, scale, block_q, block_k
+    )
     return dq, dk, dv, None
 
 
