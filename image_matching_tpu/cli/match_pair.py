@@ -8,7 +8,8 @@ and match-viz images, report per-pair wall-clock and inlier counts.
 Usage:
   python -m image_matching_tpu.cli.match_pair \
       --template T.png --source_dir sources/ --out out/ \
-      --matcher superglue --resize_scale 0.125 --checkpoint runs/... \
+      --matcher superglue --resize_scale 0.125 \
+      --sp_checkpoint runs/sp/checkpoints --sg_checkpoint runs/sg/checkpoints \
       [--backbone vgg --descriptor_dim 256]   # official-weights variant
 """
 from __future__ import annotations
