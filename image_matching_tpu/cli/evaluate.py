@@ -39,6 +39,7 @@ def parse_args():
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--sp_checkpoint", default=None)
+    p.add_argument("--sg_checkpoint", default=None)
     p.add_argument("--descriptor_dim", type=int, default=128)
     p.add_argument("--max_angle", type=float, default=0.25)
     p.add_argument("--max_shift", type=float, default=24.0)
@@ -62,13 +63,16 @@ def _sp_model_and_vars(args):
     model = Matching(cfg)
     example = jnp.zeros((1, args.height, args.width, 1))
     variables = model.init(jax.random.PRNGKey(0), example, example)
-    if args.sp_checkpoint:
+    if args.sp_checkpoint or args.sg_checkpoint:
         from image_matching_tpu.train.checkpoint import load_submodule_checkpoints
 
         variables = load_submodule_checkpoints(
-            model, variables, cfg, example, sp_checkpoint=args.sp_checkpoint
+            model, variables, cfg, example,
+            sp_checkpoint=args.sp_checkpoint,
+            sg_checkpoint=args.sg_checkpoint,
         )
-        log.info("loaded SuperPoint weights from %s", args.sp_checkpoint)
+        log.info("loaded checkpoints sp=%s sg=%s",
+                 args.sp_checkpoint, args.sg_checkpoint)
     return model, variables
 
 
