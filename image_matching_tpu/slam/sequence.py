@@ -83,3 +83,33 @@ def solve_trajectory(
 ) -> jax.Array:
     """(N, 4) world-from-frame similarity params (frame 0 = identity)."""
     return optimize_pose_graph(graph, iters=iters)
+
+
+def refine_trajectory_with_tracks(
+    tracks,
+    trajectory: jax.Array,
+    num_frames: int,
+    iters: int = 300,
+    min_track_length: int = 2,
+):
+    """Bundle-adjust a pose-graph trajectory against point tracks.
+
+    `tracks` is `get_tracks(...)` output (models/tracker.py): per-track
+    pixel observations across frames. Each track becomes a world
+    landmark and poses+landmarks are jointly re-optimised with IRLS
+    robust weighting (slam/bundle_adjustment.py) — descriptor-only
+    tracks carry outright mismatches, so the robust kernel is load-
+    bearing, not optional. Returns (poses, landmarks)."""
+    from image_matching_tpu.slam.bundle_adjustment import (
+        bundle_adjust_robust,
+        tracks_to_ba_problem,
+    )
+
+    tracks = [t for t in tracks if len(t[1]) >= min_track_length]
+    if not tracks:
+        return trajectory, jnp.zeros((1, 2))
+    n_obs = sum(len(t[1]) for t in tracks)
+    capacity = -(-n_obs // 8) * 8  # pad to a lane-friendly multiple
+    problem = tracks_to_ba_problem(tracks, num_frames, capacity)
+    z, p, _ = bundle_adjust_robust(problem, init=trajectory, iters=iters)
+    return z, p
