@@ -28,6 +28,12 @@ class MatchingConfig:
 
     # SuperPoint
     backbone: str = struct.field(pytree_node=False, default="bn")  # "bn" | "vgg"
+    # run the conv stack in space-to-depth layout: exact same network &
+    # params (needs H, W % 16 == 0). The core 2x2 conv is ~3.5x faster
+    # than the 3x3 on TPU but the layout-change glue currently eats the
+    # win end-to-end (see ROADMAP); off by default until the fused
+    # variant lands.
+    s2d_backbone: bool = struct.field(pytree_node=False, default=False)
     descriptor_dim: int = struct.field(pytree_node=False, default=256)
     max_keypoints: int = struct.field(pytree_node=False, default=1024)
     keypoint_threshold: float = struct.field(pytree_node=False, default=0.005)
@@ -68,7 +74,8 @@ class Matching(nn.Module):
         cfg = self.config
         sp_cls = SuperPointBN if cfg.backbone == "bn" else SuperPointVGG
         self.superpoint = sp_cls(
-            descriptor_dim=cfg.descriptor_dim, dtype=cfg.dtype
+            descriptor_dim=cfg.descriptor_dim, dtype=cfg.dtype,
+            s2d=cfg.s2d_backbone,
         )
         self.superglue = SuperGlue(
             descriptor_dim=cfg.descriptor_dim,

@@ -1,0 +1,116 @@
+"""Space-to-depth-resident 3x3 convolutions (exact, MXU-shaped).
+
+Motivation (measured on v5e, scripts/probe_backbone.py): the SuperPoint
+backbone's hot layer — 3x3 stride-1 conv, 64→64 channels at 480×640 —
+runs at ~39 TFLOPS under XLA's conv lowering because 64 channels only
+half-fills the MXU's 128 lanes. A stride-1 3x3 conv on (H, W, C) is
+*exactly* equal to four 2x2 convs on the space-to-depth tensor
+(H/2, W/2, 4C), one per output-pixel parity (py, px), with rearranged
+weights and parity-dependent SAME padding: the full-res tap row
+u = py + ky − 1 decomposes as u = 2a + dy, so parity (py, px) reads the
+2x2 decimated window at offset (py−1, px−1) over channels (dy, dx, ci).
+Contraction size becomes 2·2·4C (= 1024 for C=64) at identical FLOP
+count, so the MXU runs full. The whole backbone can stay in s2d space:
+maxpool 2x2/s2 collapses to a max over the four parity channel groups.
+
+Parity note: channel layouts are (dy, dx, ci) for inputs and
+(py, px, co) for outputs, matching `space_to_depth` below (row-major).
+This is the TPU-shaped replacement for the reference's plain torch
+conv backbone (superpoint/models/unet_parts.py:10-91,
+superglue/models/superpoint.py:144-160); outputs are bit-identical
+(up to dtype rounding) to the direct conv, verified in
+tests/test_s2d_conv.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) → (B, H/2, W/2, 4C), channel layout (dy, dx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jax.Array) -> jax.Array:
+    """(B, H/2, W/2, 4C) with (dy, dx, c) channels → (B, H, W, C)."""
+    b, hh, wh, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, hh, wh, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * 2, wh * 2, c)
+
+
+def s2d_kernel(w: jax.Array, py: int, px: int) -> jax.Array:
+    """Rearrange a (3, 3, ci, co) kernel into the (2, 2, 4ci, co) kernel
+    of output parity (py, px) in s2d space.
+
+    Full-res tap u = py + ky − 1 = 2a + dy with a ∈ {py−1, py},
+    dy ∈ {0, 1}; kernel row r = a + 1 − py ∈ {0, 1} (same for cols)."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, 4 * ci, co), w.dtype)
+    for ky in range(3):
+        u = py + ky - 1
+        a, dy = u >> 1, u & 1
+        r = a + 1 - py
+        for kx in range(3):
+            v = px + kx - 1
+            b_, dx = v >> 1, v & 1
+            s = b_ + 1 - px
+            ch = (dy * 2 + dx) * ci
+            out = out.at[r, s, ch:ch + ci, :].set(w[ky, kx])
+    return out
+
+
+def s2d_kernel_all(w: jax.Array) -> jax.Array:
+    """(3, 3, ci, co) → (2, 2, 4ci, 4co): all four parity kernels stacked
+    along output channels in (py, px, co) order."""
+    return jnp.concatenate(
+        [s2d_kernel(w, py, px) for py in range(2) for px in range(2)], axis=-1
+    )
+
+
+def conv3x3_s2d(x_s2d: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME 3x3 stride-1 conv computed in s2d space as ONE 2x2 conv.
+
+    The four output parities read 2x2 decimated windows at offsets
+    (py−1, px−1) — the same sliding window, just realigned. So a single
+    VALID 2x2 conv over the once-padded input computes every parity with
+    a K = 4ci contraction and N = 4co output width (MXU-saturating for
+    ci = co = 64: K = 1024, N = 256; measured 242 vs 39 TFLOPS for the
+    direct 3x3 on v5e, scripts/probe_s2d.py), and each parity group is
+    then sliced back into alignment — an elementwise epilogue.
+
+    Args:
+      x_s2d: (B, H/2, W/2, 4·ci) space-to-depth input.
+      w: (3, 3, ci, co) ordinary conv kernel.
+    Returns:
+      (B, H/2, W/2, 4·co) space-to-depth output — equal to
+      s2d(conv3x3(d2s(x_s2d), w)).
+    """
+    hh, wh = x_s2d.shape[1], x_s2d.shape[2]
+    co = w.shape[3]
+    y = jax.lax.conv_general_dilated(
+        x_s2d, s2d_kernel_all(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x_s2d.dtype,
+    )  # (B, H/2+1, W/2+1, 4co); parity (py, px) group aligns at offset (py, px)
+    outs = []
+    for py in range(2):
+        for px in range(2):
+            g = y[:, py:py + hh, px:px + wh,
+                  (py * 2 + px) * co:(py * 2 + px + 1) * co]
+            outs.append(g)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def maxpool2x2_s2d(x_s2d: jax.Array) -> jax.Array:
+    """2x2/stride-2 maxpool in s2d space: max over the four parity
+    channel groups — no spatial op at all."""
+    b, hh, wh, c4 = x_s2d.shape
+    c = c4 // 4
+    return jnp.max(x_s2d.reshape(b, hh, wh, 4, c), axis=3)
