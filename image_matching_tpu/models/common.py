@@ -18,91 +18,112 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-class S2DConv(nn.Module):
-    """3x3 (or 1x1) SAME conv whose input/output live in space-to-depth
-    layout — parameter-identical to `nn.Conv` (same param names, shapes,
-    and, given the same module name, identical initial values), but the
-    compute runs as one MXU-saturating 2x2 conv (ops/s2d_conv.py: 242 vs
-    39 TFLOPS for the backbone's 64-channel 3x3 layers on v5e).
+class ConvParams(nn.Module):
+    """Parameter shim: declares `kernel`/`bias` exactly like `nn.Conv`
+    (same names, shapes, init distribution — and, given the same module
+    name, identical init values) but returns them for custom compute.
+    Used by the s2d fast paths so checkpoints are interchangeable with
+    the plain conv path."""
 
-    Pass `name="Conv_0"` (or the plain variant's conv name) so
-    checkpoints trained on either path load into both."""
+    shape: tuple
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32
+        )
+        return kernel, bias
+
+
+def fold_parity(x):
+    """View an s2d/U tensor (..., W', 4C) as (..., W'*4, C) so per-channel
+    ops (BatchNorm) see shape-(C,) features."""
+    *lead, wh, c4 = x.shape
+    return x.reshape(*lead, wh * 4, c4 // 4)
+
+
+def unfold_parity(x, c4):
+    *lead, w4, c = x.shape
+    return x.reshape(*lead, w4 // 4, c4)
+
+
+class S2DConvBNReLU(nn.Module):
+    """conv+BN+ReLU computed in s2d layout — parameter-compatible with
+    `ConvBNReLU` (Conv_0/BatchNorm_0 children). `mode` selects the conv:
+    "entry" consumes a direct-layout map via the fused stride-2 4x4 conv
+    (ops/s2d_conv.py: conv3x3_s2d_entry) and emits aligned s2d; "raw"
+    consumes aligned s2d and emits the unaligned U tensor (realignment
+    deferred to the consumer). Inference-only (running BN stats)."""
 
     features: int
-    kernel: int = 3
+    mode: str  # "entry" | "raw"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        from image_matching_tpu.ops.s2d_conv import conv3x3_s2d
+        from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2d_entry,
+            conv3x3_s2d_raw,
+        )
 
-        ci = x.shape[-1] // 4
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.kernel, self.kernel, ci, self.features),
-            jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        xd = x.astype(self.dtype)
+        ci = x.shape[-1] if self.mode == "entry" else x.shape[-1] // 4
+        kernel, bias = ConvParams((3, 3, ci, self.features), name="Conv_0")()
         kd = kernel.astype(self.dtype)
-        if self.kernel == 1:
-            b, hh, wh, _ = x.shape
-            y = (xd.reshape(b, hh, wh, 4, ci) @ kd[0, 0]).reshape(
-                b, hh, wh, 4 * self.features
-            )
+        xd = x.astype(self.dtype)
+        if self.mode == "entry":
+            y = conv3x3_s2d_entry(xd, kd)
         else:
-            y = conv3x3_s2d(xd, kd)
-        return y + jnp.tile(bias, 4).astype(self.dtype)
+            y = conv3x3_s2d_raw(xd, kd)
+        y = y + jnp.tile(bias, 4).astype(self.dtype)
+        bn = nn.BatchNorm(
+            use_running_average=True, dtype=self.dtype, momentum=0.9,
+            name="BatchNorm_0",
+        )
+        y = unfold_parity(bn(fold_parity(y)), y.shape[-1])
+        return nn.relu(y).astype(self.dtype)
 
 
-def bn_s2d(x, bn: nn.Module):
-    """Apply a per-channel BatchNorm to an s2d-layout tensor: parity
-    groups fold into a spatial dim so params/stats keep shape (C,). In
-    training the element set equals the full-res one, so statistics are
-    identical to the plain path."""
-    b, hh, wh, c4 = x.shape
-    c = c4 // 4
-    y = bn(x.reshape(b, hh, wh * 4, c))
-    return y.reshape(b, hh, wh, c4)
+class S2DDoubleConv(nn.Module):
+    """DoubleConv twin for the s2d fast path: entry conv then raw conv.
+    Direct map in → U out (pool or realign downstream)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = S2DConvBNReLU(self.features, "entry", dtype=self.dtype,
+                          name="ConvBNReLU_0")(x)
+        return S2DConvBNReLU(self.features, "raw", dtype=self.dtype,
+                             name="ConvBNReLU_1")(x)
 
 
 class ConvBNReLU(nn.Module):
     features: int
     kernel: int = 3
     dtype: jnp.dtype = jnp.float32
-    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.s2d:
-            x = S2DConv(
-                self.features, self.kernel, dtype=self.dtype, name="Conv_0"
-            )(x)
-        else:
-            x = nn.Conv(
-                self.features,
-                (self.kernel, self.kernel),
-                padding="SAME",
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name="Conv_0",
-            )(x)
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="Conv_0",
+        )(x)
         # Training: f32 statistics for stable BN. Inference: BN is a pure
         # affine — keep it in the compute dtype so XLA fuses it into the
         # conv epilogue instead of round-tripping f32 tensors through HBM
         # (at 640x480x64 the f32 intermediate alone is ~300 MB/batch).
         bn_dtype = jnp.float32 if train else self.dtype
-        bn = nn.BatchNorm(
+        x = nn.BatchNorm(
             use_running_average=not train, dtype=bn_dtype, momentum=0.9,
             name="BatchNorm_0",
-        )
-        if self.s2d:
-            x = bn_s2d(x.astype(bn_dtype), bn)
-        else:
-            x = bn(x.astype(bn_dtype))
+        )(x.astype(bn_dtype))
         return nn.relu(x).astype(self.dtype)
 
 
@@ -111,12 +132,11 @@ class DoubleConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
-    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNReLU(self.features, dtype=self.dtype, s2d=self.s2d)(x, train)
-        x = ConvBNReLU(self.features, dtype=self.dtype, s2d=self.s2d)(x, train)
+        x = ConvBNReLU(self.features, dtype=self.dtype)(x, train)
+        x = ConvBNReLU(self.features, dtype=self.dtype)(x, train)
         return x
 
 

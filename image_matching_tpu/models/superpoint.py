@@ -35,13 +35,16 @@ CELL = 8
 class SuperPointBN(nn.Module):
     """U-Net-encoder SuperPoint with BatchNorm (training variant).
 
-    With `s2d=True` the whole network runs in space-to-depth layout
-    (ops/s2d_conv.py): every 3x3 conv becomes one MXU-saturating 2x2
-    conv and every maxpool a channel-group max. Mathematically exact
-    (same params, same outputs up to dtype rounding; checkpoints are
-    interchangeable between the two paths) but ~3x faster on the hot
-    64-channel full-resolution layers on TPU. Requires H, W divisible
-    by 16."""
+    With `s2d=True`, inference runs the conv stack in space-to-depth
+    layout with the layout changes fused into the convs themselves
+    (ops/s2d_conv.py v2): each level is one stride-2 "entry" conv
+    (direct in → aligned s2d out) + one MXU-saturating 2x2 conv
+    (aligned → unaligned U) + a pool that realigns while reducing.
+    Mathematically exact (same params & outputs up to dtype rounding;
+    checkpoints interchangeable) — the 64-channel full-res convs run
+    ~39 → ~200+ TFLOPS. Training always uses the plain path (BN batch
+    statistics over U's padding edge would drift). Requires H, W
+    divisible by 16."""
 
     descriptor_dim: int = 256
     dtype: jnp.dtype = jnp.float32
@@ -49,11 +52,17 @@ class SuperPointBN(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, train: bool = False) -> dict:
-        from image_matching_tpu.models.common import S2DConv, bn_s2d
+        from image_matching_tpu.models.common import (
+            ConvParams,
+            S2DDoubleConv,
+            fold_parity,
+            unfold_parity,
+        )
         from image_matching_tpu.ops.s2d_conv import (
             depth_to_space,
-            maxpool2x2_s2d,
-            space_to_depth,
+            maxpool2x2_s2d_from_raw,
+            mm1x1_s2d,
+            realign,
         )
 
         c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
@@ -67,25 +76,43 @@ class SuperPointBN(nn.Module):
             momentum=0.9, name=name,
         )
 
-        if self.s2d:
-            x = space_to_depth(x)
-            x = DoubleConv(c1, dtype=self.dtype, s2d=True, name="inc")(x, train)
-            for c, name in ((c2, "down1"), (c3, "down2"), (c4, "down3")):
-                x = space_to_depth(maxpool2x2_s2d(x))
-                x = DoubleConv(c, dtype=self.dtype, s2d=True, name=name)(x, train)
+        use_fast = (
+            self.s2d and not train
+            and image.shape[1] % 16 == 0 and image.shape[2] % 16 == 0
+        )
+        if use_fast:
+            u = S2DDoubleConv(c1, dtype=self.dtype, name="inc")(x)
+            u = S2DDoubleConv(c2, dtype=self.dtype, name="down1")(
+                maxpool2x2_s2d_from_raw(u)
+            )
+            u = S2DDoubleConv(c3, dtype=self.dtype, name="down2")(
+                maxpool2x2_s2d_from_raw(u)
+            )
+            u = S2DDoubleConv(c4, dtype=self.dtype, name="down3")(
+                maxpool2x2_s2d_from_raw(u)
+            )
+            x = realign(u)  # aligned s2d of the Hc x Wc 128-ch map (small)
 
-            conv = lambda f, k, name: S2DConv(
-                f, k, dtype=self.dtype, name=name
-            )
-            bnw = lambda name, t: bn_s2d(t.astype(bn_dtype), bn(name))
-            cpa = nn.relu(bnw("bnPa", conv(c5, 3, "convPa")(x)))
-            semi = bnw("bnPb", conv(65, 1, "convPb")(cpa.astype(self.dtype)))
-            semi = depth_to_space(semi.astype(jnp.float32))
-            cda = nn.relu(bnw("bnDa", conv(c5, 3, "convDa")(x)))
-            desc = bnw(
-                "bnDb", conv(self.descriptor_dim, 1, "convDb")(cda.astype(self.dtype))
-            )
-            desc = depth_to_space(desc.astype(jnp.float32))
+            from image_matching_tpu.ops.s2d_conv import conv3x3_s2d_raw
+
+            def head(conv_name, bn_name, feats, inp):
+                k, b_ = ConvParams((3, 3, c4, feats), name=conv_name)()
+                y = conv3x3_s2d_raw(inp, k.astype(self.dtype))
+                y = y + jnp.tile(b_, 4).astype(self.dtype)
+                y = unfold_parity(bn(bn_name)(fold_parity(y)), y.shape[-1])
+                return nn.relu(y)  # U-form
+
+            def head_out(conv_name, bn_name, feats, inp):
+                k, b_ = ConvParams((1, 1, c5, feats), name=conv_name)()
+                y = mm1x1_s2d(inp, k[0, 0].astype(self.dtype),
+                              b_.astype(self.dtype))
+                y = unfold_parity(bn(bn_name)(fold_parity(y)), y.shape[-1])
+                return depth_to_space(realign(y).astype(jnp.float32))
+
+            cpa = head("convPa", "bnPa", c5, x)
+            semi = head_out("convPb", "bnPb", 65, cpa)
+            cda = head("convDa", "bnDa", c5, x)
+            desc = head_out("convDb", "bnDb", self.descriptor_dim, cda)
         else:
             x = DoubleConv(c1, dtype=self.dtype, name="inc")(x, train)
             x = DoubleConv(c2, dtype=self.dtype, name="down1")(max_pool_stride2(x), train)
@@ -121,44 +148,81 @@ class SuperPointVGG(nn.Module):
     @nn.compact
     def __call__(self, image: jax.Array, train: bool = False) -> dict:
         del train  # no normalisation layers
-        from image_matching_tpu.models.common import S2DConv
+        from image_matching_tpu.models.common import ConvParams
         from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2d_entry,
+            conv3x3_s2d_raw,
             depth_to_space,
-            maxpool2x2_s2d,
-            space_to_depth,
+            maxpool2x2_s2d_from_raw,
+            mm1x1_s2d,
+            realign,
         )
 
         c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
-        if self.s2d:
-            conv = lambda f, k, name: S2DConv(f, k, dtype=self.dtype, name=name)
-            pool = lambda x: space_to_depth(maxpool2x2_s2d(x))
-            x = space_to_depth(image.astype(self.dtype))
+        use_fast = (
+            self.s2d
+            and image.shape[1] % 16 == 0 and image.shape[2] % 16 == 0
+        )
+        if use_fast:
+            def conv(ci, co, name, mode):
+                k, b = ConvParams((3, 3, ci, co), name=name)()
+                fn = conv3x3_s2d_entry if mode == "entry" else conv3x3_s2d_raw
+
+                def run(x):
+                    y = fn(x, k.astype(self.dtype))
+                    return nn.relu(y + jnp.tile(b, 4).astype(self.dtype))
+                return run
+
+            def conv1x1(ci, co, name):
+                k, b = ConvParams((1, 1, ci, co), name=name)()
+                return lambda x: mm1x1_s2d(
+                    x, k[0, 0].astype(self.dtype), b.astype(self.dtype)
+                )
+
+            x = image.astype(self.dtype)
+            u = conv(c1, c1, "conv1b", "raw")(conv(1, c1, "conv1a", "entry")(x))
+            u = conv(c2, c2, "conv2b", "raw")(
+                conv(c1, c2, "conv2a", "entry")(maxpool2x2_s2d_from_raw(u))
+            )
+            u = conv(c3, c3, "conv3b", "raw")(
+                conv(c2, c3, "conv3a", "entry")(maxpool2x2_s2d_from_raw(u))
+            )
+            u = conv(c4, c4, "conv4b", "raw")(
+                conv(c3, c4, "conv4a", "entry")(maxpool2x2_s2d_from_raw(u))
+            )
+            x = realign(u)  # aligned s2d of the Hc x Wc 128-ch map
+            cpa = conv(c4, c5, "convPa", "raw")(x)
+            semi = depth_to_space(
+                realign(conv1x1(c5, 65, "convPb")(cpa)).astype(jnp.float32)
+            )
+            cda = conv(c4, c5, "convDa", "raw")(x)
+            desc = depth_to_space(
+                realign(conv1x1(c5, self.descriptor_dim, "convDb")(cda)).astype(
+                    jnp.float32
+                )
+            )
         else:
             conv = lambda f, k, name: nn.Conv(
                 f, (k, k), padding="SAME", dtype=self.dtype,
                 param_dtype=jnp.float32, name=name,
             )
-            pool = max_pool_stride2
             x = image.astype(self.dtype)
-        x = nn.relu(conv(c1, 3, "conv1a")(x))
-        x = nn.relu(conv(c1, 3, "conv1b")(x))
-        x = pool(x)
-        x = nn.relu(conv(c2, 3, "conv2a")(x))
-        x = nn.relu(conv(c2, 3, "conv2b")(x))
-        x = pool(x)
-        x = nn.relu(conv(c3, 3, "conv3a")(x))
-        x = nn.relu(conv(c3, 3, "conv3b")(x))
-        x = pool(x)
-        x = nn.relu(conv(c4, 3, "conv4a")(x))
-        x = nn.relu(conv(c4, 3, "conv4b")(x))
+            x = nn.relu(conv(c1, 3, "conv1a")(x))
+            x = nn.relu(conv(c1, 3, "conv1b")(x))
+            x = max_pool_stride2(x)
+            x = nn.relu(conv(c2, 3, "conv2a")(x))
+            x = nn.relu(conv(c2, 3, "conv2b")(x))
+            x = max_pool_stride2(x)
+            x = nn.relu(conv(c3, 3, "conv3a")(x))
+            x = nn.relu(conv(c3, 3, "conv3b")(x))
+            x = max_pool_stride2(x)
+            x = nn.relu(conv(c4, 3, "conv4a")(x))
+            x = nn.relu(conv(c4, 3, "conv4b")(x))
 
-        cpa = nn.relu(conv(c5, 3, "convPa")(x))
-        semi = conv(65, 1, "convPb")(cpa).astype(jnp.float32)
-        cda = nn.relu(conv(c5, 3, "convDa")(x))
-        desc = conv(self.descriptor_dim, 1, "convDb")(cda).astype(jnp.float32)
-        if self.s2d:
-            semi = depth_to_space(semi)
-            desc = depth_to_space(desc)
+            cpa = nn.relu(conv(c5, 3, "convPa")(x))
+            semi = conv(65, 1, "convPb")(cpa).astype(jnp.float32)
+            cda = nn.relu(conv(c5, 3, "convDa")(x))
+            desc = conv(self.descriptor_dim, 1, "convDb")(cda).astype(jnp.float32)
         desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
         return {"semi": semi, "desc_map": desc}
 

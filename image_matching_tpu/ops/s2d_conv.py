@@ -114,3 +114,99 @@ def maxpool2x2_s2d(x_s2d: jax.Array) -> jax.Array:
     b, hh, wh, c4 = x_s2d.shape
     c = c4 // 4
     return jnp.max(x_s2d.reshape(b, hh, wh, 4, c), axis=3)
+
+
+# ---------------------------------------------------------------------------
+# Fused pipeline variants (v2): no explicit space_to_depth transposes and no
+# standalone realignment copies. Measured on v5e, XLA lowers the (dy, dx, c)
+# relayout as a ~4 ms transpose and materialises the parity realign at
+# +2.65 ms/conv, which erases the fast conv's win; these ops keep the whole
+# backbone in s2d layout with the layout changes folded into convs/pools.
+#
+# Representations:
+#   direct : ordinary (B, H, W, C) feature map
+#   aligned: (B, H/2, W/2, 4C) s2d layout, groups aligned (== space_to_depth)
+#   U      : (B, H/2+1, W/2+1, 4C) *unaligned* conv output; parity group
+#            (py, px) holds its aligned value for index (i, j) at
+#            U[i+py, j+px] — realignment deferred to the consumer.
+# ---------------------------------------------------------------------------
+
+
+def entry_kernel(w: jax.Array) -> jax.Array:
+    """(3, 3, ci, co) → (4, 4, ci, 4co): kernel of the stride-2 conv that
+    computes conv3x3-then-s2d straight from a direct-layout input.
+
+    Output parity (py, px) taps full-res offsets u = py + ky − 1 ∈
+    {py−1, .., py+1} ⊂ {−1..2}, i.e. kernel index u + 1 in a 4x4 window
+    anchored at row 2i − 1 (pad ((1, 2), (1, 2)), stride 2)."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((4, 4, ci, 4 * co), w.dtype)
+    for py in range(2):
+        for px in range(2):
+            g = (py * 2 + px) * co
+            for ky in range(3):
+                for kx in range(3):
+                    u, v = py + ky - 1, px + kx - 1
+                    out = out.at[u + 1, v + 1, :, g:g + co].set(w[ky, kx])
+    return out
+
+
+def conv3x3_s2d_entry(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME 3x3 conv fused with space_to_depth: direct (B, H, W, ci) in,
+    aligned (B, H/2, W/2, 4co) out — one stride-2 4x4 conv, no transpose.
+    Equal to space_to_depth(conv3x3(x, w))."""
+    return jax.lax.conv_general_dilated(
+        x, entry_kernel(w), (2, 2), ((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+def conv3x3_s2d_raw(x_s2d: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME 3x3 conv in s2d space, returning the UNALIGNED conv output U
+    (B, H/2+1, W/2+1, 4co) — the single MXU-saturating 2x2 conv without
+    the realignment copy. Consumers realign implicitly (see
+    maxpool2x2_s2d_from_raw / realign)."""
+    return jax.lax.conv_general_dilated(
+        x_s2d, s2d_kernel_all(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x_s2d.dtype,
+    )
+
+
+def realign(u: jax.Array) -> jax.Array:
+    """U (B, H/2+1, W/2+1, 4C) → aligned (B, H/2, W/2, 4C)."""
+    hh, wh = u.shape[1] - 1, u.shape[2] - 1
+    c = u.shape[3] // 4
+    return jnp.concatenate(
+        [
+            u[:, py:py + hh, px:px + wh, (py * 2 + px) * c:(py * 2 + px + 1) * c]
+            for py in range(2) for px in range(2)
+        ],
+        axis=-1,
+    )
+
+
+def maxpool2x2_s2d_from_raw(u: jax.Array) -> jax.Array:
+    """2x2/stride-2 maxpool fused with the realignment: U in, direct
+    (B, H/2, W/2, C) out. Reads the four shifted parity slices and
+    reduces — writes C channels instead of materialising the 4C aligned
+    tensor first."""
+    hh, wh = u.shape[1] - 1, u.shape[2] - 1
+    c = u.shape[3] // 4
+    gs = [
+        u[:, py:py + hh, px:px + wh, (py * 2 + px) * c:(py * 2 + px + 1) * c]
+        for py in range(2) for px in range(2)
+    ]
+    return jnp.maximum(jnp.maximum(gs[0], gs[1]), jnp.maximum(gs[2], gs[3]))
+
+
+def mm1x1_s2d(x: jax.Array, w: jax.Array, bias=None) -> jax.Array:
+    """1x1 conv in s2d layout (aligned or U — parity-wise, so alignment
+    is irrelevant): (..., 4ci) @ (ci, co) → (..., 4co)."""
+    *lead, c4 = x.shape
+    ci, co = w.shape
+    y = x.reshape(*lead, 4, ci) @ w
+    if bias is not None:
+        y = y + bias
+    return y.reshape(*lead, 4 * co)

@@ -128,3 +128,75 @@ class TestS2DModels:
             ),
             dict(m_plain), dict(m_fast),
         )
+
+
+class TestS2DFusedVariants:
+    def _rand(self, *shape):
+        rng = np.random.default_rng(11)
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    def test_entry_conv_equals_s2d_of_conv(self):
+        from image_matching_tpu.ops.s2d_conv import conv3x3_s2d_entry
+
+        x = self._rand(2, 16, 24, 5)
+        w = self._rand(3, 3, 5, 6)
+        ref = space_to_depth(_direct_conv(x, w))
+        got = conv3x3_s2d_entry(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_raw_conv_realigned_equals_s2d_of_conv(self):
+        from image_matching_tpu.ops.s2d_conv import conv3x3_s2d_raw, realign
+
+        x = self._rand(2, 12, 16, 4)
+        w = self._rand(3, 3, 4, 8)
+        ref = space_to_depth(_direct_conv(x, w))
+        got = realign(conv3x3_s2d_raw(space_to_depth(x), w))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_pool_from_raw_equals_pool_of_conv(self):
+        from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2d_raw,
+            maxpool2x2_s2d_from_raw,
+        )
+
+        x = self._rand(2, 12, 16, 4)
+        w = self._rand(3, 3, 4, 8)
+        ref = jax.lax.reduce_window(
+            _direct_conv(x, w), -jnp.inf, jax.lax.max,
+            (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+        )
+        got = maxpool2x2_s2d_from_raw(conv3x3_s2d_raw(space_to_depth(x), w))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_full_fused_level_chain(self):
+        """entry conv → raw conv → fused pool == plain conv/conv/pool."""
+        from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2d_entry,
+            conv3x3_s2d_raw,
+            maxpool2x2_s2d_from_raw,
+        )
+
+        x = self._rand(2, 16, 24, 3)
+        w1 = self._rand(3, 3, 3, 8)
+        w2 = self._rand(3, 3, 8, 8)
+        ref = _direct_conv(x, w1)
+        ref = _direct_conv(ref, w2)
+        ref = jax.lax.reduce_window(
+            ref, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+        a = conv3x3_s2d_entry(x, w1)
+        u = conv3x3_s2d_raw(a, w2)
+        got = maxpool2x2_s2d_from_raw(u)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_mm1x1_parity_invariance(self):
+        from image_matching_tpu.ops.s2d_conv import mm1x1_s2d, realign
+
+        u = self._rand(2, 7, 9, 16)  # a fake U tensor (4 groups of 4)
+        w = self._rand(4, 5)
+        # applying 1x1 then realigning == realigning then applying 1x1
+        a = realign(mm1x1_s2d(u, w))
+        b = mm1x1_s2d(realign(u), w)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
