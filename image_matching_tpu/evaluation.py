@@ -135,3 +135,34 @@ def evaluate_pipeline(
         "mean_inliers": float(np.mean(inliers)),
         "fit_valid_rate": float(np.mean(valids)),
     }
+
+
+def make_synthetic_sequence(rng, n_frames=8, h=160, w=160):
+    """Drifting-camera synthetic video over a fixed textured world.
+
+    Returns (frames, gt): frames are (H, W, 1) float arrays; gt[i] is the
+    world-from-frame similarity params (a, b, tx, ty) of frame i. Used by
+    the sequence CLI's --synthetic self-check and the sequence tests.
+    """
+    import cv2
+
+    # smoothed noise: distinctive texture everywhere (uniform blobs are
+    # self-similar and die in the ratio test)
+    world = rng.uniform(0, 1, (h * 2, w * 2)).astype(np.float32)
+    world = cv2.GaussianBlur(world, (0, 0), 2.0)
+    world = (world - world.min()) / (world.max() - world.min() + 1e-9)
+
+    frames, gt = [], []
+    x, y, ang = w // 2, h // 2, 0.0
+    for _ in range(n_frames):
+        c, s = np.cos(ang), np.sin(ang)
+        # world <- frame: rotate by ang then translate by (x, y)
+        m = np.float32([[c, -s, x], [s, c, y]])
+        gt.append(np.array([c, s, x, y], np.float32))
+        inv = cv2.invertAffineTransform(m)
+        frame = cv2.warpAffine(world, inv, (w, h))
+        frames.append(frame[..., None])
+        x += rng.uniform(2, 10)
+        y += rng.uniform(-4, 6)
+        ang += rng.uniform(-0.05, 0.05)
+    return frames, np.stack(gt)

@@ -140,3 +140,23 @@ class TestTraditionalCLI:
         mat = np.loadtxt(out / "s1_transform.txt")
         assert mat.shape == (2, 3)
         np.testing.assert_allclose(mat[:, 2], [10, -5], atol=3.0)
+
+
+class TestSequenceCLI:
+    def test_synthetic_ba_smoke(self, monkeypatch, tmp_path):
+        import json
+
+        from image_matching_tpu.cli.sequence import main
+
+        out = tmp_path / "traj.json"
+        run_cli(
+            monkeypatch, main,
+            ["sequence", "--synthetic", "--ba", "--n_frames", "6",
+             "--out", str(out), "--iters", "150"],
+        )
+        result = json.loads(out.read_text())
+        assert result["stage"] == "bundle_adjusted"
+        assert len(result["trajectory"]) == 6
+        assert result["valid_edges"] >= 4
+        # globally solved trajectory should be sub-pixel on the synthetic
+        assert result["ate_bundle_adjusted_px"] < 1.0

@@ -16,28 +16,8 @@ from image_matching_tpu.slam.sequence import (
 
 
 def make_sequence(rng, n_frames=8, h=160, w=160):
-    """Drifting-camera synthetic video over a fixed blob world; returns
-    frames + GT world-from-frame similarity params."""
-    # smoothed noise: distinctive texture everywhere (uniform blobs are
-    # self-similar and die in the ratio test)
-    world = rng.uniform(0, 1, (h * 2, w * 2)).astype(np.float32)
-    world = cv2.GaussianBlur(world, (0, 0), 2.0)
-    world = (world - world.min()) / (world.max() - world.min() + 1e-9)
-
-    frames, gt = [], []
-    x, y, ang = w // 2, h // 2, 0.0
-    for i in range(n_frames):
-        c, s = np.cos(ang), np.sin(ang)
-        # world <- frame: rotate by ang then translate by (x, y)
-        m = np.float32([[c, -s, x], [s, c, y]])
-        gt.append(np.array([c, s, x, y], np.float32))
-        inv = cv2.invertAffineTransform(m)
-        frame = cv2.warpAffine(world, inv, (w, h))
-        frames.append(frame[..., None])
-        x += rng.uniform(2, 10)
-        y += rng.uniform(-4, 6)
-        ang += rng.uniform(-0.05, 0.05)
-    return frames, np.stack(gt)
+    from image_matching_tpu.evaluation import make_synthetic_sequence
+    return make_synthetic_sequence(rng, n_frames=n_frames, h=h, w=w)
 
 
 class TestSequenceEdges:
