@@ -1,0 +1,66 @@
+"""Pallas fused realign+maxpool vs the XLA formulation (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_matching_tpu.ops.pallas.realign import (
+    maxpool_realign,
+    maxpool_realign_pallas,
+)
+from image_matching_tpu.ops.s2d_conv import (
+    conv3x3_s2d_raw,
+    maxpool2x2_s2d_from_raw,
+    space_to_depth,
+)
+
+
+def _rand_u(b, h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.normal(size=(b, h + 1, w + 1, 4 * c)).astype(np.float32)
+    )
+
+
+def test_kernel_matches_xla_formulation():
+    u = _rand_u(2, 16, 24, 8)
+    ref = maxpool2x2_s2d_from_raw(u)
+    got = maxpool_realign_pallas(u, block_rows=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_kernel_on_real_conv_output():
+    """Through an actual s2d conv: equals plain conv + maxpool."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32))
+    u = conv3x3_s2d_raw(space_to_depth(x), w)
+    direct = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    ref = jax.lax.reduce_window(
+        direct, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+    got = maxpool_realign_pallas(u, block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_wrapper_block_size_fallbacks():
+    # H=30 → block_rows=2 path; H=7 → XLA fallback
+    u30 = _rand_u(1, 30, 40, 4, seed=2)
+    np.testing.assert_array_equal(
+        np.asarray(maxpool_realign(u30, interpret=True)),
+        np.asarray(maxpool2x2_s2d_from_raw(u30)),
+    )
+    u7 = _rand_u(1, 7, 9, 4, seed=3)
+    np.testing.assert_array_equal(
+        np.asarray(maxpool_realign(u7, interpret=True)),
+        np.asarray(maxpool2x2_s2d_from_raw(u7)),
+    )
+
+
+def test_bad_block_rows_raises():
+    import pytest
+
+    u = _rand_u(1, 10, 12, 4)
+    with pytest.raises(ValueError):
+        maxpool_realign_pallas(u, block_rows=8, interpret=True)
