@@ -104,6 +104,16 @@ def main():
     train_step = make_superpoint_train_step(model, loss_cfg)
     eval_step = make_superpoint_eval_step(model, loss_cfg)
 
+    from image_matching_tpu.geometry.labels import flatten_detection
+
+    @jax.jit
+    def diagnostics(variables, image, labels_2d):
+        """One jitted program for the TB-interval forward + PR metrics —
+        eager per-op dispatch through the TPU relay is pathologically
+        slow, so nothing per-interval may run outside jit."""
+        semi = model.apply(variables, image)["semi"]
+        return flatten_detection(semi), detector_precision_recall(semi, labels_2d)
+
     writer = None
     try:
         from tensorboardX import SummaryWriter
@@ -131,10 +141,7 @@ def main():
 
             if step % args.tensorboard_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                pr = detector_precision_recall(
-                    model.apply(state.variables, batch["image"])["semi"],
-                    batch["labels_2d"],
-                )
+                _, pr = diagnostics(state.variables, batch["image"], batch["labels_2d"])
                 m.update({k: float(v) for k, v in pr.items()})
                 rate = step / (time.perf_counter() - t0 + 1e-9)
                 log.info("step %d (%.1f it/s): %s", step, rate, m)
@@ -152,11 +159,12 @@ def main():
                         writer.add_scalar(f"val/{k_}", float(v), step)
                     # heatmap overlay + param histograms, the reference's
                     # TB diagnostics (Train_model_frontend.py:430-502)
-                    from image_matching_tpu.geometry.labels import flatten_detection
                     from image_matching_tpu.utils.viz import heatmap_overlay
 
-                    semi = model.apply(state.variables, vbatch["image"])["semi"]
-                    heat = np.asarray(flatten_detection(semi)[0])
+                    heat_all, _ = diagnostics(
+                        state.variables, vbatch["image"], vbatch["labels_2d"]
+                    )
+                    heat = np.asarray(heat_all[0])
                     overlay = heatmap_overlay(np.asarray(vbatch["image"][0]), heat)
                     writer.add_image(
                         "val/heatmap_overlay", overlay[..., ::-1], step,

@@ -1,16 +1,30 @@
-"""DoG/SIFT-style detector + descriptor in pure JAX (Lowe, IJCV 2004).
+"""DoG/SIFT detector + descriptor in pure JAX (Lowe, IJCV 2004).
 
 Replaces the OpenCV C++ SIFT the reference calls through
-`Traditional/registration.py:16-18` (cv2.xfeatures2d.SIFT_create →
-detectAndCompute). This is a TPU-first re-design, not a binding: the
-whole pyramid is built with separable convolutions, scale-space extrema
-are found with reduce-window comparisons, and orientation/descriptor
-extraction is a batch of bilinear gathers over precomputed gradient
-maps — one jitted program per image size, fixed-K masked output.
+`Traditional/registration.py:16-18` (cv2.SIFT_create → detectAndCompute).
+This is a TPU-first re-design, not a binding: the whole pyramid is built
+with separable convolutions, scale-space extrema are found with
+reduce-window comparisons, refinement/orientation/descriptor extraction
+are batched fixed-K gathers — one jitted program per image size.
 
-Deliberate deltas vs OpenCV (documented, covered by behavioural tests):
-fixed keypoint capacity per octave instead of unbounded lists, single
-dominant orientation per keypoint, no double-size first octave.
+OpenCV-parity features (VERDICT round-1 item 5):
+  * 3D quadratic extremum interpolation — subpixel x/y and sub-scale σ,
+    with up to `refine_iters` re-localisation steps and the interpolated
+    contrast test |D̂| ≥ contrast_threshold / nlayers;
+  * per-layer gradient maps — orientation and descriptor sample the
+    gaussian layer the keypoint actually lives in (channel-stacked
+    select), not a single mid-stack approximation;
+  * multiple orientations per keypoint via the 0.8-peak rule on the
+    smoothed 36-bin histogram, with parabolic peak interpolation;
+  * scale-dependent windows: orientation radius 3·1.5·σ_octv (gaussian
+    σ = 1.5·σ_octv), descriptor hist_width = 3·σ_octv with trilinear
+    (soft) spatial/orientation binning, clip at 0.2, renormalise.
+
+Remaining deliberate deltas (documented, behaviour-tested): fixed
+keypoint capacity per octave instead of unbounded lists, and at most two
+orientations per keypoint (OpenCV emits every ≥0.8 peak; two covers the
+overwhelming majority). The doubled first octave (-1) IS implemented
+(cfg.first_octave, default -1, as OpenCV).
 """
 from __future__ import annotations
 
@@ -27,17 +41,23 @@ from image_matching_tpu.structs import Keypoints
 
 
 class SIFTConfig(NamedTuple):
-    n_octaves: int = 4
+    n_octaves: int = 5  # counted from `first_octave` (-1..3 by default)
     scales_per_octave: int = 3  # DoG layers searched per octave
     sigma0: float = 1.6
-    # OpenCV's analogue is ~0.04/3 on [0,1] images; 0.006 measured better
-    # on the synthetic eval regime (success 0.75 -> 1.00, see EVAL.md)
-    contrast_threshold: float = 0.006
+    # OpenCV semantics: final test is |D̂| ≥ contrast_threshold / nlayers
+    # (cv2 default 0.04 on [0,1] images)
+    contrast_threshold: float = 0.04
     edge_threshold: float = 10.0
     max_keypoints: int = 1024
     per_octave_cap: int = 512
     descriptor_width: int = 4  # 4x4 spatial bins
     descriptor_bins: int = 8  # orientation bins -> 128-d
+    refine_iters: int = 3  # quadratic re-localisation steps
+    ori_peak_ratio: float = 0.8  # secondary-orientation threshold
+    # OpenCV's doubled first octave (-1): upscale 2x before the pyramid,
+    # catching fine-scale keypoints (σ_image assumed 0.5 → 1.0 doubled)
+    first_octave: int = -1
+    init_sigma: float = 0.5  # assumed blur of the input image
 
 
 def _gauss_kernel(sigma: float) -> jax.Array:
@@ -60,125 +80,270 @@ def _downsample2(img: jax.Array) -> jax.Array:
     return img[::2, ::2]
 
 
-def _octave_extrema(
-    dogs: jax.Array,  # (S+2, H, W) DoG stack for one octave
-    cfg: SIFTConfig,
-    key_cap: int,
-):
-    """Scale-space extrema: max/min among the 26 neighbours, with
-    contrast and edge-response filtering. Returns flat (cap,) indices,
-    scores, scale-layer ids and validity for this octave."""
-    s, h, w = dogs.shape
+_BORDER = 8  # descriptor-window border guard, pixels (octave coords)
+
+
+def _gather_cube(dogs: jax.Array, l, y, x):
+    """27-neighbourhood of each (layer, y, x) from the (S+2, H, W) DoG
+    stack → (K, 3, 3, 3) values ordered [dl, dy, dx]."""
+    d = jnp.arange(-1, 2)
+    li = l[:, None, None, None] + d[None, :, None, None]
+    yi = y[:, None, None, None] + d[None, None, :, None]
+    xi = x[:, None, None, None] + d[None, None, None, :]
+    li = jnp.clip(li, 0, dogs.shape[0] - 1)
+    yi = jnp.clip(yi, 0, dogs.shape[1] - 1)
+    xi = jnp.clip(xi, 0, dogs.shape[2] - 1)
+    return dogs[li, yi, xi]
+
+
+def _fit_quadratic(cube: jax.Array):
+    """3D gradient, Hessian and -H⁻¹g offset of the centre sample.
+
+    cube: (K, 3, 3, 3) ordered [σ, y, x]. Returns (offset_xyz (K, 3) in
+    [x, y, σ] order, grad (K, 3), center values (K,), 2D edge quantities)."""
+    c = cube[:, 1, 1, 1]
+    ds = (cube[:, 2, 1, 1] - cube[:, 0, 1, 1]) / 2.0
+    dy = (cube[:, 1, 2, 1] - cube[:, 1, 0, 1]) / 2.0
+    dx = (cube[:, 1, 1, 2] - cube[:, 1, 1, 0]) / 2.0
+    dss = cube[:, 2, 1, 1] + cube[:, 0, 1, 1] - 2 * c
+    dyy = cube[:, 1, 2, 1] + cube[:, 1, 0, 1] - 2 * c
+    dxx = cube[:, 1, 1, 2] + cube[:, 1, 1, 0] - 2 * c
+    dxy = (cube[:, 1, 2, 2] - cube[:, 1, 2, 0]
+           - cube[:, 1, 0, 2] + cube[:, 1, 0, 0]) / 4.0
+    dxs = (cube[:, 2, 1, 2] - cube[:, 2, 1, 0]
+           - cube[:, 0, 1, 2] + cube[:, 0, 1, 0]) / 4.0
+    dys = (cube[:, 2, 2, 1] - cube[:, 2, 0, 1]
+           - cube[:, 0, 2, 1] + cube[:, 0, 0, 1]) / 4.0
+
+    grad = jnp.stack([dx, dy, ds], -1)  # (K, 3)
+    hess = jnp.stack(
+        [
+            jnp.stack([dxx, dxy, dxs], -1),
+            jnp.stack([dxy, dyy, dys], -1),
+            jnp.stack([dxs, dys, dss], -1),
+        ],
+        -2,
+    )  # (K, 3, 3)
+    # ridge keeps near-singular Hessians solvable; offsets explode there
+    # and the |offset|>1.5 rejection below discards them
+    eye = jnp.eye(3, dtype=hess.dtype) * 1e-8
+    offset = -jnp.linalg.solve(hess + eye, grad[..., None])[..., 0]
+    return offset, grad, c, (dxx, dyy, dxy)
+
+
+def _octave_keypoints(dogs: jax.Array, cfg: SIFTConfig, cap: int):
+    """Detect + refine scale-space extrema for one octave.
+
+    Returns (x, y) subpixel octave coords, integer layer, σ offset ξ,
+    |D̂| score and validity — all shaped (cap,)."""
+    s_mid, h, w = dogs.shape[0] - 2, dogs.shape[1], dogs.shape[2]
+    thr_final = cfg.contrast_threshold / cfg.scales_per_octave
     maxp = max_pool_2d(dogs, 3)  # per-layer 3x3 spatial max
     minp = -max_pool_2d(-dogs, 3)
 
-    mids = dogs[1:-1]  # layers searched
-    is_max = (
-        (mids >= maxp[:-2]) & (mids >= maxp[2:])
-        & (mids == maxp[1:-1])
-    )
-    is_min = (
-        (mids <= minp[:-2]) & (mids <= minp[2:])
-        & (mids == minp[1:-1])
-    )
-    extremum = (is_max | is_min) & (jnp.abs(mids) > cfg.contrast_threshold)
+    mids = dogs[1:-1]
+    is_max = (mids >= maxp[:-2]) & (mids >= maxp[2:]) & (mids == maxp[1:-1])
+    is_min = (mids <= minp[:-2]) & (mids <= minp[2:]) & (mids == minp[1:-1])
+    # prefilter at half the final interpolated-contrast threshold (OpenCV)
+    extremum = (is_max | is_min) & (jnp.abs(mids) > 0.5 * thr_final)
 
-    # edge response: 2x2 spatial Hessian ratio test (Lowe §4.1)
-    dxx = jnp.roll(mids, -1, 2) + jnp.roll(mids, 1, 2) - 2 * mids
-    dyy = jnp.roll(mids, -1, 1) + jnp.roll(mids, 1, 1) - 2 * mids
-    dxy = (
-        jnp.roll(jnp.roll(mids, -1, 1), -1, 2)
-        - jnp.roll(jnp.roll(mids, -1, 1), 1, 2)
-        - jnp.roll(jnp.roll(mids, 1, 1), -1, 2)
-        + jnp.roll(jnp.roll(mids, 1, 1), 1, 2)
-    ) / 4.0
-    tr = dxx + dyy
-    det = dxx * dyy - dxy * dxy
-    r = cfg.edge_threshold
-    edge_ok = (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
-    extremum = extremum & edge_ok
-
-    # border guard (descriptor window)
     ys = jnp.arange(h)[None, :, None]
     xs = jnp.arange(w)[None, None, :]
-    b = 8
+    b = _BORDER
     extremum = extremum & (ys >= b) & (ys < h - b) & (xs >= b) & (xs < w - b)
 
     resp = jnp.where(extremum, jnp.abs(mids), 0.0)
-    flat = resp.reshape(-1)
-    scores, idx = jax.lax.top_k(flat, key_cap)
-    layer = idx // (h * w)
+    scores0, idx = jax.lax.top_k(resp.reshape(-1), cap)
+    layer = idx // (h * w) + 1  # DoG stack index (1..S)
     rem = idx % (h * w)
     yy = rem // w
     xx = rem % w
-    valid = scores > 0
-    return xx, yy, layer, scores, valid
+    valid = scores0 > 0
+
+    # --- 3D quadratic refinement with re-localisation (Lowe §4; OpenCV
+    # adjustLocalExtrema). Fixed iteration count; unconverged → reject.
+    def body(_, carry):
+        l, y, x, off, conv = carry
+        cube = _gather_cube(dogs, l, y, x)
+        off_new, _, _, _ = _fit_quadratic(cube)
+        done = jnp.all(jnp.abs(off_new) < 0.5, axis=-1)
+        move = jnp.round(jnp.clip(off_new, -1.0, 1.0)).astype(jnp.int32)
+        x2 = jnp.where(conv | done, x, jnp.clip(x + move[:, 0], b, w - 1 - b))
+        y2 = jnp.where(conv | done, y, jnp.clip(y + move[:, 1], b, h - 1 - b))
+        l2 = jnp.where(conv | done, l, jnp.clip(l + move[:, 2], 1, s_mid))
+        off = jnp.where(conv[:, None], off, off_new)
+        return l2, y2, x2, off, conv | done
+
+    carry = (layer, yy, xx, jnp.zeros((cap, 3)), jnp.zeros((cap,), bool))
+    layer, yy, xx, offset, converged = jax.lax.fori_loop(
+        0, cfg.refine_iters, body, carry
+    )
+    # final fit at the settled location
+    cube = _gather_cube(dogs, layer, yy, xx)
+    offset, grad, center, (dxx, dyy, dxy) = _fit_quadratic(cube)
+    in_range = jnp.all(jnp.abs(offset) < 1.5, axis=-1)
+    offset = jnp.clip(offset, -0.5, 0.5)
+
+    # interpolated contrast |D̂| = |D + g·offset/2| (OpenCV: ·nlayers ≥ thr)
+    contrast = center + 0.5 * jnp.sum(grad * offset, axis=-1)
+    ok_contrast = jnp.abs(contrast) >= thr_final
+
+    # edge response at the refined location (2D spatial Hessian ratio)
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = cfg.edge_threshold
+    ok_edge = (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
+
+    valid = valid & converged & in_range & ok_contrast & ok_edge
+    x_sub = xx.astype(jnp.float32) + offset[:, 0]
+    y_sub = yy.astype(jnp.float32) + offset[:, 1]
+    return x_sub, y_sub, layer, offset[:, 2], jnp.abs(contrast), valid
 
 
-def _orientation(
-    grad_mag: jax.Array, grad_ori: jax.Array, x, y, radius: int = 8
-):
-    """Dominant gradient orientation in a square window (36-bin hist)."""
+# Fixed 17x17 unit sample grid for the orientation window. Pixel radius is
+# 3·1.5·σ_octv, so unit offset u maps to u·(4.5σ/8) px and the gaussian
+# weight exp(-|p|²/(2(1.5σ)²)) is scale-INVARIANT in unit coords.
+_ORI_GRID = 8
+_N_ORI_BINS = 36
+
+
+def _orientation_histograms(gmag_s, gori_s, x, y, sel, scl):
+    """Smoothed 36-bin orientation histograms. gmag_s/gori_s: (H, W, S)
+    per-layer gradient stacks; sel: (K, S) one-hot layer select;
+    scl: (K,) σ_octv. Returns (K, 36)."""
+    r = _ORI_GRID
     dy, dx = jnp.meshgrid(
-        jnp.arange(-radius, radius + 1), jnp.arange(-radius, radius + 1),
+        jnp.arange(-r, r + 1, dtype=jnp.float32),
+        jnp.arange(-r, r + 1, dtype=jnp.float32),
         indexing="ij",
     )
-    offs = jnp.stack([dx, dy], -1).reshape(-1, 2).astype(jnp.float32)
-    coords = jnp.stack([x, y], -1)[:, None, :] + offs[None]  # (K, P, 2)
-    mag = bilinear_sample(grad_mag[..., None], coords)[..., 0]
-    ori = bilinear_sample(grad_ori[..., None], coords)[..., 0]
-    sigma = radius / 2.0
-    wgt = jnp.exp(-0.5 * jnp.sum(offs**2, -1) / sigma**2)[None]
-    nbins = 36
-    bins = jnp.floor((ori + math.pi) / (2 * math.pi) * nbins).astype(jnp.int32) % nbins
+    offs = jnp.stack([dx, dy], -1).reshape(-1, 2)  # (P, 2) unit coords
+    spacing = (4.5 / r) * scl  # px per unit step, per keypoint
+    coords = (
+        jnp.stack([x, y], -1)[:, None, :]
+        + offs[None] * spacing[:, None, None]
+    )  # (K, P, 2)
+    mag = jnp.einsum("kps,ks->kp", bilinear_sample(gmag_s, coords), sel)
+    ori = jnp.einsum("kps,ks->kp", bilinear_sample(gori_s, coords), sel)
+    # scale-invariant gaussian weight (see note above)
+    w_u = jnp.exp(-jnp.sum(offs**2, -1) * (4.5 / r) ** 2 / (2 * 1.5**2))[None]
+
+    nbins = _N_ORI_BINS
+    fbin = (ori + math.pi) / (2 * math.pi) * nbins
+    b0 = jnp.floor(fbin).astype(jnp.int32) % nbins
+    f = fbin - jnp.floor(fbin)
+    wv = mag * w_u
     hist = jax.vmap(
-        lambda b, wm: jnp.zeros((nbins,)).at[b].add(wm)
-    )(bins, mag * wgt)
-    best = jnp.argmax(hist, axis=-1)
-    return (best.astype(jnp.float32) + 0.5) / nbins * 2 * math.pi - math.pi
+        lambda b, v0, v1: jnp.zeros((nbins,)).at[b].add(v0)
+        .at[(b + 1) % nbins].add(v1)
+    )(b0, wv * (1 - f), wv * f)
+    # circular [1, 4, 6, 4, 1]/16 smoothing (OpenCV calcOrientationHist)
+    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+    idx = (jnp.arange(nbins)[None, :] + jnp.arange(-2, 3)[:, None]) % nbins
+    return jnp.einsum("t,ktb->kb", k, hist[:, idx])
 
 
-def _descriptor(
-    grad_mag, grad_ori, x, y, theta, scale_mult, cfg: SIFTConfig
-):
-    """128-d SIFT descriptor: 4x4 spatial x 8 orientation bins over a
-    rotated 16x16 sample grid, gaussian-weighted, normalised, clipped at
-    0.2, renormalised (Lowe §6)."""
-    width = cfg.descriptor_width  # 4
+def _orientation_peaks(hist, peak_ratio):
+    """Primary + secondary (0.8-peak rule) orientations with parabolic
+    bin interpolation. Returns (theta1, theta2, has2)."""
+    nbins = hist.shape[-1]
+    left = jnp.roll(hist, 1, -1)
+    right = jnp.roll(hist, -1, -1)
+    is_peak = (hist > left) & (hist > right)
+
+    def interp_theta(b):
+        h0 = jnp.take_along_axis(hist, (b[:, None] - 1) % nbins, 1)[:, 0]
+        h1 = jnp.take_along_axis(hist, b[:, None], 1)[:, 0]
+        h2 = jnp.take_along_axis(hist, (b[:, None] + 1) % nbins, 1)[:, 0]
+        di = 0.5 * (h0 - h2) / jnp.maximum(h0 - 2 * h1 + h2, 1e-12)
+        di = jnp.clip(di, -0.5, 0.5)
+        fb = b.astype(jnp.float32) + 0.5 + di
+        return fb / nbins * 2 * math.pi - math.pi
+
+    b1 = jnp.argmax(hist, -1)
+    v1 = jnp.take_along_axis(hist, b1[:, None], 1)[:, 0]
+    # exclude the primary peak and its neighbours, then best remaining peak
+    dist = jnp.abs(jnp.arange(nbins)[None, :] - b1[:, None])
+    dist = jnp.minimum(dist, nbins - dist)
+    cand = jnp.where(is_peak & (dist > 1), hist, -1.0)
+    b2 = jnp.argmax(cand, -1)
+    v2 = jnp.take_along_axis(cand, b2[:, None], 1)[:, 0]
+    has2 = v2 >= peak_ratio * v1
+    return interp_theta(b1), interp_theta(b2), has2
+
+
+def _descriptor(gmag_s, gori_s, x, y, sel, theta, scl, cfg: SIFTConfig):
+    """128-d descriptor with trilinear soft binning (Lowe §6 / OpenCV
+    calcSIFTDescriptor): 4x4 spatial × 8 orientation bins over a rotated
+    16x16 sample grid, hist_width = 3·σ_octv, gaussian-weighted,
+    normalised, clipped at 0.2, renormalised."""
+    d = cfg.descriptor_width  # 4
     nbins = cfg.descriptor_bins  # 8
-    n_samp = width * 4  # 16x16 samples
+    n_samp = d * 4  # 16x16 samples, 4 per spatial bin
 
-    lin = jnp.arange(n_samp) - (n_samp - 1) / 2.0  # unit sample spacing
+    # sample grid in BIN units: centres of a d×d grid, 4 samples per bin
+    lin = (jnp.arange(n_samp) + 0.5) / 4.0 - d / 2.0  # ∈ (−2, 2)
     sy, sx = jnp.meshgrid(lin, lin, indexing="ij")
-    offs = jnp.stack([sx, sy], -1).reshape(-1, 2)  # (256, 2), unrotated
+    offs_bin = jnp.stack([sx, sy], -1).reshape(-1, 2)  # (P, 2)
 
     ct, st = jnp.cos(theta), jnp.sin(theta)
     rot = jnp.stack(
         [jnp.stack([ct, -st], -1), jnp.stack([st, ct], -1)], -2
     )  # (K, 2, 2)
-    # per-keypoint scale: spacing between samples in pixels
-    roffs = jnp.einsum("pj,kij->kpi", offs, rot) * scale_mult[:, None, None]
+    hist_width = 3.0 * scl  # px per spatial bin
+    roffs = jnp.einsum("pj,kij->kpi", offs_bin, rot) * hist_width[:, None, None]
     coords = jnp.stack([x, y], -1)[:, None, :] + roffs
 
-    mag = bilinear_sample(grad_mag[..., None], coords)[..., 0]  # (K, 256)
-    ori = bilinear_sample(grad_ori[..., None], coords)[..., 0] - theta[:, None]
+    mag = jnp.einsum("kps,ks->kp", bilinear_sample(gmag_s, coords), sel)
+    ori = jnp.einsum("kps,ks->kp", bilinear_sample(gori_s, coords), sel)
+    ori = ori - theta[:, None]
 
-    # gaussian weight over the (scale-invariant) sample grid
-    half = n_samp / 2.0
-    wgt = jnp.exp(-0.5 * jnp.sum(offs**2, -1)[None] / (half * 0.5) ** 2)
+    # gaussian weight over bin-unit radius (OpenCV exp_scale = −1/(d²/2))
+    w_g = jnp.exp(-jnp.sum(offs_bin**2, -1) / (0.5 * d * d))[None]
+    wv = mag * w_g  # (K, P)
 
-    # spatial bin of each sample (4x4 of 4x4-sample cells)
-    cell = jnp.arange(n_samp) // 4
-    cy, cx = jnp.meshgrid(cell, cell, indexing="ij")
-    spatial_bin = (cy * width + cx).reshape(-1)  # (256,)
+    # trilinear binning: continuous (row, col, ori) bin coords
+    rbin = offs_bin[:, 1][None] + (d - 1) / 2.0  # (1, P) ∈ (−0.5, d−0.5)
+    cbin = offs_bin[:, 0][None] + (d - 1) / 2.0
+    obin = (ori + math.pi) / (2 * math.pi) * nbins  # (K, P)
 
-    obin = jnp.floor((ori + math.pi) / (2 * math.pi) * nbins).astype(jnp.int32) % nbins
-    flat_bin = spatial_bin[None] * nbins + obin  # (K, 256)
+    r0 = jnp.floor(rbin)
+    c0 = jnp.floor(cbin)
+    o0 = jnp.floor(obin)
+    fr, fc, fo = rbin - r0, cbin - c0, obin - o0
+    r0i = r0.astype(jnp.int32)
+    c0i = c0.astype(jnp.int32)
+    o0i = o0.astype(jnp.int32)
 
-    def hist_one(b, v):
-        return jnp.zeros((width * width * nbins,)).at[b].add(v)
+    n_flat = d * d * nbins
 
-    desc = jax.vmap(hist_one)(flat_bin, mag * wgt)
+    def hist_one(args):
+        r0k, c0k, o0k, frk, fck, fok, wk = args
+        acc = jnp.zeros((n_flat,))
+        for dr in (0, 1):
+            rr = r0k + dr
+            wr = jnp.where(dr == 0, 1 - frk, frk)
+            ok_r = (rr >= 0) & (rr < d)
+            for dc in (0, 1):
+                cc = c0k + dc
+                wc = jnp.where(dc == 0, 1 - fck, fck)
+                ok_c = (cc >= 0) & (cc < d)
+                for do in (0, 1):
+                    oo = (o0k + do) % nbins
+                    wo = jnp.where(do == 0, 1 - fok, fok)
+                    idx = (rr * d + cc) * nbins + oo
+                    wgt = wk * wr * wc * wo * ok_r * ok_c
+                    acc = acc.at[jnp.where(ok_r & ok_c, idx, 0)].add(
+                        jnp.where(ok_r & ok_c, wgt, 0.0)
+                    )
+        return acc
+
+    br = jnp.broadcast_to
+    kshape = (mag.shape[0], mag.shape[1])
+    desc = jax.vmap(hist_one)(
+        (br(r0i, kshape), br(c0i, kshape), o0i,
+         br(fr, kshape), br(fc, kshape), fo, wv)
+    )
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
     desc = jnp.minimum(desc, 0.2)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
@@ -191,8 +356,10 @@ def sift_detect_and_describe(
 ) -> Keypoints:
     """(H, W) or (H, W, 1) grayscale [0,1] → Keypoints with 128-d desc.
 
-    Coordinates are full-resolution pixels; score is |DoG| response.
-    Batch with jax.vmap for multiple images of one shape.
+    Coordinates are full-resolution pixels; score is the interpolated
+    |DoG| contrast. Keypoints with a ≥0.8-ratio secondary orientation
+    peak appear twice (one per orientation), as in OpenCV. Batch with
+    jax.vmap for multiple images of one shape.
     """
     if image.ndim == 3:
         image = image[..., 0]
@@ -203,44 +370,57 @@ def sift_detect_and_describe(
     sigmas = [cfg.sigma0 * (k**i) for i in range(s + 3)]
 
     all_parts = []
-    base = _blur(image, cfg.sigma0)
+    sig_have = cfg.init_sigma
+    if cfg.first_octave < 0:
+        # bilinear 2x upscale (OpenCV doubles with INTER_LINEAR)
+        h0, w0 = image.shape
+        image = jax.image.resize(image, (2 * h0, 2 * w0), "linear")
+        sig_have = 2.0 * cfg.init_sigma
+    base = _blur(
+        image, math.sqrt(max(cfg.sigma0**2 - sig_have**2, 0.01))
+    )
     for octave in range(cfg.n_octaves):
         if min(base.shape) < 32:
             break
-        # gaussian stack (incremental blurs) and DoG
         gs = [base]
         for i in range(1, s + 3):
             inc = math.sqrt(max(sigmas[i] ** 2 - sigmas[i - 1] ** 2, 1e-6))
             gs.append(_blur(gs[-1], inc))
         dogs = jnp.stack([gs[i + 1] - gs[i] for i in range(s + 2)])
 
-        xx, yy, layer, scores, valid = _octave_extrema(
+        xf, yf, layer, xi_s, score, valid = _octave_keypoints(
             dogs, cfg, cfg.per_octave_cap
         )
-        xf = xx.astype(jnp.float32)
-        yf = yy.astype(jnp.float32)
 
-        # gradients of the matching gaussian layer (use layer-1 blur index
-        # approximation: the middle of the stack)
-        g_mid = gs[s // 2 + 1]
-        gx = (jnp.roll(g_mid, -1, 1) - jnp.roll(g_mid, 1, 1)) / 2.0
-        gy = (jnp.roll(g_mid, -1, 0) - jnp.roll(g_mid, 1, 0)) / 2.0
-        gmag = jnp.sqrt(gx * gx + gy * gy)
-        gori = jnp.arctan2(gy, gx)
+        # per-layer gradients of the searchable gaussian layers gs[1..s]
+        g_stack = jnp.stack([gs[i] for i in range(1, s + 1)], axis=-1)
+        gx = (jnp.roll(g_stack, -1, 1) - jnp.roll(g_stack, 1, 1)) / 2.0
+        gy = (jnp.roll(g_stack, -1, 0) - jnp.roll(g_stack, 1, 0)) / 2.0
+        gmag_s = jnp.sqrt(gx * gx + gy * gy)
+        gori_s = jnp.arctan2(gy, gx)
+        sel = jax.nn.one_hot(jnp.clip(layer - 1, 0, s - 1), s)  # (K, S)
 
-        theta = _orientation(gmag, gori, xf, yf)
-        scale_mult = 1.0 + 0.5 * layer.astype(jnp.float32) / s
-        desc = _descriptor(gmag, gori, xf, yf, theta, scale_mult, cfg)
-
-        factor = float(2**octave)
-        all_parts.append(
-            (
-                jnp.stack([xf, yf], -1) * factor,
-                scores,
-                valid,
-                desc,
-            )
+        # σ within the octave (OpenCV scl_octv), with the sub-scale offset
+        scl = cfg.sigma0 * jnp.power(
+            2.0, (layer.astype(jnp.float32) + xi_s) / s
         )
+
+        hist = _orientation_histograms(gmag_s, gori_s, xf, yf, sel, scl)
+        th1, th2, has2 = _orientation_peaks(hist, cfg.ori_peak_ratio)
+
+        factor = float(2 ** (octave + min(cfg.first_octave, 0)))
+        for theta, v in ((th1, valid), (th2, valid & has2)):
+            desc = _descriptor(
+                gmag_s, gori_s, xf, yf, sel, theta, scl, cfg
+            )
+            all_parts.append(
+                (
+                    jnp.stack([xf, yf], -1) * factor,
+                    jnp.where(v, score, 0.0),
+                    v,
+                    desc,
+                )
+            )
         base = _downsample2(gs[s])  # next octave base (2x sigma0 layer)
 
     xy = jnp.concatenate([p[0] for p in all_parts], axis=0)
@@ -248,13 +428,13 @@ def sift_detect_and_describe(
     valid = jnp.concatenate([p[2] for p in all_parts], axis=0)
     desc = jnp.concatenate([p[3] for p in all_parts], axis=0)
 
-    top_scores, sel = jax.lax.top_k(
+    top_scores, sel_k = jax.lax.top_k(
         jnp.where(valid, score, -1.0), cfg.max_keypoints
     )
     mask = top_scores > 0
     return Keypoints(
-        xy=xy[sel],
+        xy=xy[sel_k],
         score=jnp.where(mask, top_scores, 0.0),
         mask=mask,
-        desc=desc[sel] * mask[:, None],
+        desc=desc[sel_k] * mask[:, None],
     )

@@ -109,25 +109,54 @@ def track_lengths(state: TrackerState) -> jax.Array:
     return jnp.sum(jnp.any(present, axis=1), axis=0)
 
 
+@partial(jax.jit, static_argnames=("min_length",))
+def get_tracks_dense(state: TrackerState, min_length: int = 2):
+    """Device-side track extraction as fixed-shape arrays.
+
+    For every newest-frame slot, locate its track id in each window frame
+    with one broadcast compare + argmax (vectorised; no host loop — the
+    reference's PointTracker.get_tracks is a numpy row scan,
+    model_wrap.py:450-526). Returns a dict:
+      tid:     (K,) int32 newest-frame track ids (-1 invalid)
+      xy:      (K, L, 2) observation positions per window frame
+      present: (K, L) bool observation mask
+      valid:   (K,) bool — visible now and ≥ min_length observations
+      length:  (K,) int32 observation counts
+    Frame f in the window corresponds to absolute frame
+    `frame_idx - L + f`.
+    """
+    ids = state.track_ids  # (L, K)
+    newest = ids[-1]  # (K,)
+    # (L, slots, tracks): does window-frame slot hold newest track t?
+    eq = (ids[:, :, None] == newest[None, None, :]) & (newest >= 0)[None, None, :]
+    present = jnp.any(eq, axis=1)  # (L, K_tracks)
+    slot = jnp.argmax(eq, axis=1)  # (L, K_tracks) first matching slot
+    xy = jnp.take_along_axis(state.xy, slot[..., None], axis=1)  # (L, K, 2)
+    length = jnp.sum(present, axis=0).astype(jnp.int32)
+    return {
+        "tid": newest,
+        "xy": xy.transpose(1, 0, 2),
+        "present": present.T,
+        "valid": (newest >= 0) & (length >= min_length),
+        "length": length,
+    }
+
+
 def get_tracks(state: TrackerState, min_length: int = 2):
-    """Host-side extraction: list of (track_id, [(frame, x, y), ...]) for
-    tracks visible in the newest frame with ≥ min_length observations."""
+    """List-of-tuples view of `get_tracks_dense`: [(track_id,
+    [(frame, x, y), ...]), ...] for tracks visible in the newest frame
+    with ≥ min_length observations. The heavy lifting (per-track slot
+    search) runs on device; this only formats the result."""
     import numpy as np
 
-    ids = np.asarray(state.track_ids)
-    xy = np.asarray(state.xy)
-    l = ids.shape[0]
-    newest = ids[-1]
+    dense = jax.device_get(get_tracks_dense(state, min_length))
+    frame0 = int(state.frame_idx) - state.max_length
     out = []
-    frame0 = int(state.frame_idx) - l
-    for slot, tid in enumerate(newest):
-        if tid < 0:
-            continue
-        obs = []
-        for f in range(l):
-            hit = np.nonzero(ids[f] == tid)[0]
-            if len(hit):
-                obs.append((frame0 + f, float(xy[f, hit[0], 0]), float(xy[f, hit[0], 1])))
-        if len(obs) >= min_length:
-            out.append((int(tid), obs))
+    for t in np.nonzero(dense["valid"])[0]:
+        frames = np.nonzero(dense["present"][t])[0]
+        obs = [
+            (frame0 + int(f), float(dense["xy"][t, f, 0]), float(dense["xy"][t, f, 1]))
+            for f in frames
+        ]
+        out.append((int(dense["tid"][t]), obs))
     return out

@@ -12,7 +12,8 @@ methodology and the collective structure:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python scripts/scaling_bench.py --mesh_sizes 1 2 4 8
 
-Writes scaling_bench.json.
+Writes runs/scaling_bench_cpu_mesh.json (CPU-mesh numbers are
+validation-only — see the caveat field written into the JSON).
 """
 from __future__ import annotations
 
@@ -32,7 +33,7 @@ def main():
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--max_keypoints", type=int, default=64)
     p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--out", default="scaling_bench.json")
+    p.add_argument("--out", default="runs/scaling_bench_cpu_mesh.json")
     args = p.parse_args()
 
     import jax

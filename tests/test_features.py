@@ -122,3 +122,76 @@ class TestClassicalRegistration:
         est = np.asarray(res.fit.matrix)
         np.testing.assert_allclose(est[:, :2], mat[:, :2], atol=0.08)
         np.testing.assert_allclose(est[:, 2], mat[:, 2], atol=3.0)
+
+
+class TestSIFTOpenCVOracle:
+    """Repeatability against cv2.SIFT as oracle (VERDICT round-1 item 5):
+    on a textured image, the cv2 keypoint set and ours must substantially
+    agree in location, and matching across a known warp must register."""
+
+    def _texture(self, seed=7, h=256, w=256):
+        rng = np.random.default_rng(seed)
+        img = blob_image(rng, h=h, w=w, n=60)
+        # add mid-frequency texture so DoG has structure at several scales
+        noise = rng.normal(0, 1, (h // 4, w // 4)).astype(np.float32)
+        noise = cv2.resize(noise, (w, h), interpolation=cv2.INTER_CUBIC)
+        img = np.clip(img + 0.15 * noise, 0, 1)
+        return cv2.GaussianBlur(img, (0, 0), 1.0)
+
+    def test_location_repeatability_vs_cv2(self):
+        img = self._texture()
+        sift = cv2.SIFT_create(contrastThreshold=0.04, edgeThreshold=10)
+        cv_kp = sift.detect((img * 255).astype(np.uint8), None)
+        cv_xy = np.array([k.pt for k in cv_kp], np.float32).reshape(-1, 2)
+        assert len(cv_xy) > 50, "oracle should fire on this texture"
+
+        ours = sift_detect_and_describe(jnp.asarray(img), SIFTConfig())
+        our_xy = np.asarray(ours.xy)[np.asarray(ours.mask)]
+        assert len(our_xy) > 50
+
+        # fraction of cv2 keypoints with one of ours within 2 px
+        d = np.linalg.norm(cv_xy[:, None] - our_xy[None], axis=-1)
+        recall = float((d.min(axis=1) < 2.0).mean())
+        precision = float((d.min(axis=0) < 2.0).mean())
+        assert recall > 0.5, f"cv2->ours repeatability {recall:.2f}"
+        assert precision > 0.4, f"ours->cv2 repeatability {precision:.2f}"
+
+    def test_subpixel_refinement_tightens_localization(self):
+        """Interpolated keypoints on a warped copy should land within
+        ~1 px of the warped originals (subpixel, not integer grid)."""
+        img = self._texture(seed=11)
+        h, w = img.shape
+        angle, scale, tx, ty = 9.0, 1.0, 3.25, -2.75
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, scale)
+        m[:, 2] += (tx, ty)
+        warped = cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR)
+
+        cfg = SIFTConfig(max_keypoints=512)
+        kp0 = sift_detect_and_describe(jnp.asarray(img), cfg)
+        kp1 = sift_detect_and_describe(jnp.asarray(warped), cfg)
+        xy0 = np.asarray(kp0.xy)[np.asarray(kp0.mask)]
+        xy1 = np.asarray(kp1.xy)[np.asarray(kp1.mask)]
+        # ground-truth mapping of kp0 into the warped frame
+        gt = xy0 @ m[:, :2].T + m[:, 2]
+        inside = (
+            (gt[:, 0] > 16) & (gt[:, 0] < w - 16)
+            & (gt[:, 1] > 16) & (gt[:, 1] < h - 16)
+        )
+        gt = gt[inside]
+        d = np.linalg.norm(gt[:, None] - xy1[None], axis=-1).min(axis=1)
+        matched = d < 2.0
+        assert matched.mean() > 0.5
+        # subpixel quality: matched redetections localise well under 1 px
+        assert d[matched].mean() < 0.8, f"mean redetection err {d[matched].mean():.2f}"
+
+    def test_multi_orientation_duplicates_exist(self):
+        """The 0.8-peak rule should emit second orientations on corner-rich
+        imagery (checkerboard corners have two dominant gradients)."""
+        img = checker_image(h=128, w=128, cell=16)
+        img = cv2.GaussianBlur(img, (0, 0), 1.0)
+        kp = sift_detect_and_describe(jnp.asarray(img), SIFTConfig())
+        xy = np.asarray(kp.xy)[np.asarray(kp.mask)]
+        # duplicated locations = same (x, y) appearing twice
+        _, counts = np.unique(np.round(xy * 4).astype(int), axis=0,
+                              return_counts=True)
+        assert (counts >= 2).sum() > 0
