@@ -45,7 +45,7 @@ class MatchingConfig:
     gnn_layers: int = struct.field(pytree_node=False, default=18)
     sinkhorn_iterations: int = struct.field(pytree_node=False, default=100)
     match_threshold: float = struct.field(pytree_node=False, default=0.2)
-    attention_impl: str = struct.field(pytree_node=False, default="einsum")
+    attention_impl: str = struct.field(pytree_node=False, default="auto")
     # compute dtype for conv/attention matmuls ("float32" | "bfloat16")
     compute_dtype: str = struct.field(pytree_node=False, default="bfloat16")
 

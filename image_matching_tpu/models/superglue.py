@@ -33,6 +33,12 @@ from image_matching_tpu.structs import Keypoints, MatchResult
 
 NEG_INF = -1e9
 
+# "auto" attention resolves to the Pallas flash kernel at/above this many
+# keypoints (on TPU): measured on v5e, the einsum path wins below it (XLA
+# fuses the whole layer) and flash wins above (O(N²) scores tile stops
+# fitting VMEM). See scripts/bench_attention.py for the measurement.
+FLASH_MIN_KEYPOINTS = 2048
+
 
 def normalize_keypoints(
     xy: jax.Array, height: int, width: int
@@ -50,13 +56,16 @@ class MultiHeadedAttention(nn.Module):
     `impl`: "einsum" materialises the (N, M) scores per head (fastest at
     the reference's N ≈ 1k, fully fused by XLA); "flash" uses the Pallas
     blockwise online-softmax kernel (ops/pallas/attention.py) whose
-    memory is O(N·d) — the long-context path for 10⁴⁺ keypoints.
+    memory is O(N·d) — the long-context path for 10⁴⁺ keypoints;
+    "auto" (the default everywhere) picks flash on TPU once the source
+    set reaches FLASH_MIN_KEYPOINTS, einsum otherwise — shapes are
+    static under jit, so the choice is resolved at trace time.
     """
 
     num_heads: int
     dim: int
     dtype: jnp.dtype = jnp.float32
-    impl: str = "einsum"
+    impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -79,7 +88,14 @@ class MultiHeadedAttention(nn.Module):
         k = k.reshape(b, m, self.num_heads, d_head)
         v = v.reshape(b, m, self.num_heads, d_head)
 
-        if self.impl == "flash":
+        impl = self.impl
+        if impl == "auto":
+            impl = (
+                "flash"
+                if m >= FLASH_MIN_KEYPOINTS and jax.default_backend() == "tpu"
+                else "einsum"
+            )
+        if impl == "flash":
             from image_matching_tpu.ops.pallas.attention import flash_attention
 
             fold = lambda x: x.transpose(0, 2, 1, 3).reshape(
@@ -108,7 +124,7 @@ class AttentionalPropagation(nn.Module):
     dim: int
     num_heads: int = 4
     dtype: jnp.dtype = jnp.float32
-    attention_impl: str = "einsum"
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, source, x_mask, source_mask, train: bool = False):
@@ -128,7 +144,7 @@ class AttentionalGNN(nn.Module):
     dim: int
     layer_names: Tuple[str, ...]
     dtype: jnp.dtype = jnp.float32
-    attention_impl: str = "einsum"
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, desc0, desc1, mask0, mask1, train: bool = False):
@@ -169,7 +185,7 @@ class SuperGlue(nn.Module):
     sinkhorn_iterations: int = 100
     match_threshold: float = 0.2
     dtype: jnp.dtype = jnp.float32
-    attention_impl: str = "einsum"  # "einsum" | "flash"
+    attention_impl: str = "auto"  # "auto" | "einsum" | "flash"
 
     def _layer_names(self):
         return tuple(

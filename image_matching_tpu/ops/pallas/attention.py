@@ -8,9 +8,11 @@ keypoints (SURVEY.md §5). This kernel tiles Q and K/V with an online
 softmax so the scores tile never leaves VMEM, with key-validity masking
 (fixed-K padded sets) built in.
 
-Forward is the Pallas kernel; the backward pass recomputes attention
-with the XLA einsum path (cheap at these head dims, exact gradients) via
-custom_vjp — a dedicated backward kernel is a later-round optimization.
+Forward and backward are both Pallas kernels wired through custom_vjp
+(defvjp below): the forward emits per-row log-sum-exp, and the backward
+runs two blockwise passes (dK/dV accumulated over Q blocks, dQ over KV
+blocks) recomputing the probability tiles from the saved LSE — standard
+flash-attention-2 structure, O(N·d) memory end to end.
 
 Layout: q (B, Nq, D), k/v (B, Nkv, D), key_mask (B, Nkv) bool.
 B folds batch×heads. Masked logits get -1e9, matching
