@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--descriptor_dim", type=int, default=128)
     p.add_argument("--max_angle", type=float, default=0.25)
     p.add_argument("--max_shift", type=float, default=24.0)
+    p.add_argument("--texture", default="blobs", choices=["blobs", "photo", "noise"],
+                   help="eval image statistics: blob fields (round-1 regime) or "
+                        "photographic-texture scenes (natural-image stand-in)")
     p.add_argument("--success_px", type=float, default=5.0)
     p.add_argument("--out", default="EVAL.json")
     p.add_argument("--seed", type=int, default=0)
@@ -85,6 +88,7 @@ def main():
     pairs = make_eval_pairs(
         rng, args.n_pairs, args.height, args.width,
         max_angle=args.max_angle, max_shift=args.max_shift,
+        texture=args.texture,
     )
     log.info("%d synthetic pairs (%dx%d)", len(pairs), args.height, args.width)
 

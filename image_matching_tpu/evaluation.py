@@ -25,6 +25,69 @@ class EvalPair(NamedTuple):
     gt_matrix: np.ndarray  # (2, 3) similarity mapping template -> source
 
 
+def photo_texture(rng: np.random.Generator, height: int, width: int) -> np.ndarray:
+    """Photographic-texture image: multi-octave 1/f value noise +
+    man-made structure (rectangles/lines) + illumination gradient.
+
+    The reference evaluates on real photographs (its LFS-stubbed
+    template/source dirs, superpoint_flann_test.py:19-26); this
+    generator stands in for them with natural-image statistics — broad
+    spectrum, shading, occluding edges — rather than the blob fields the
+    round-1 eval used exclusively (VERDICT item 8)."""
+    import cv2
+
+    img = np.zeros((height, width), np.float32)
+    amp, total = 1.0, 0.0
+    for cell in (64, 32, 16, 8, 4):
+        g = rng.uniform(0, 1, (height // cell + 2, width // cell + 2))
+        img += amp * cv2.resize(
+            g.astype(np.float32), (width, height),
+            interpolation=cv2.INTER_CUBIC,
+        )
+        total += amp
+        amp *= 0.55
+    img /= total
+
+    # occluding structure: shaded rectangles, bars and disks
+    for _ in range(int(rng.integers(6, 14))):
+        kind = rng.integers(0, 3)
+        shade = float(rng.uniform(0.05, 0.95))
+        alpha = float(rng.uniform(0.5, 1.0))
+        overlay = img.copy()
+        if kind == 0:
+            x0, y0 = rng.uniform([0, 0], [width - 20, height - 20])
+            wid, hei = rng.uniform(12, width / 3), rng.uniform(12, height / 3)
+            pts = np.array(
+                [[x0, y0], [x0 + wid, y0], [x0 + wid, y0 + hei], [x0, y0 + hei]],
+                np.float32,
+            )
+            ang = rng.uniform(0, np.pi)
+            c, s = np.cos(ang), np.sin(ang)
+            ctr = pts.mean(0)
+            pts = (pts - ctr) @ np.array([[c, -s], [s, c]], np.float32).T + ctr
+            cv2.fillPoly(overlay, [pts.astype(np.int32)], shade)
+        elif kind == 1:
+            p0 = rng.uniform([0, 0], [width, height])
+            p1 = rng.uniform([0, 0], [width, height])
+            cv2.line(overlay, tuple(p0.astype(int)), tuple(p1.astype(int)),
+                     shade, int(rng.integers(1, 4)))
+        else:
+            c0 = rng.uniform([16, 16], [width - 16, height - 16])
+            cv2.circle(overlay, (int(c0[0]), int(c0[1])),
+                       int(rng.uniform(4, 24)), shade, -1)
+        img = (1 - alpha) * img + alpha * overlay
+
+    # illumination gradient + vignette-ish falloff
+    yy, xx = np.meshgrid(
+        np.linspace(-1, 1, height), np.linspace(-1, 1, width), indexing="ij"
+    )
+    gx, gy = rng.uniform(-0.25, 0.25, 2)
+    img = img * (1.0 + gx * xx + gy * yy)
+    img = cv2.GaussianBlur(img, (0, 0), 0.8)
+    img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+    return img.astype(np.float32)
+
+
 def make_eval_pairs(
     rng: np.random.Generator,
     n_pairs: int,
@@ -50,6 +113,8 @@ def make_eval_pairs(
                     img, (int(c[0]), int(c[1])), int(rng.uniform(2, 7)),
                     float(rng.uniform(0.4, 1.0)), -1,
                 )
+        elif texture == "photo":
+            img = photo_texture(rng, height, width)
         else:
             img = rng.uniform(0, 1, (height, width)).astype(np.float32)
             img = cv2.GaussianBlur(img, (0, 0), 2.0)
