@@ -36,6 +36,8 @@ class ORBConfig(NamedTuple):
     patch_radius: int = 15
     pattern_seed: int = 7
     blur_sigma: float = 1.2
+    n_levels: int = 8  # scale pyramid depth (cv2.ORB_create default)
+    scale_factor: float = 1.2
 
 
 def _ring_stack(img: jax.Array) -> jax.Array:
@@ -98,15 +100,9 @@ def _brief_pattern(cfg: ORBConfig) -> jax.Array:
     return jnp.clip(pts, -cfg.patch_radius, cfg.patch_radius)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def orb_detect_and_describe(
-    image: jax.Array, cfg: ORBConfig = ORBConfig()
-) -> Keypoints:
-    """(H, W) or (H, W, 1) grayscale [0,1] → Keypoints with packed uint8
-    descriptors (desc dtype uint8, shape (K, n_tests/8))."""
-    if image.ndim == 3:
-        image = image[..., 0]
-    image = image.astype(jnp.float32)
+def _detect_level(image: jax.Array, k_level: int, cfg: ORBConfig) -> Keypoints:
+    """Single-pyramid-level FAST + oriented BRIEF. image: (H, W) at this
+    level's resolution; keeps the `k_level` best corners (level coords)."""
     h, w = image.shape
 
     score = fast_score(image, cfg)
@@ -118,7 +114,7 @@ def orb_detect_and_describe(
     score = jnp.where(inb, score, 0.0)
 
     flat = score.reshape(-1)
-    top, idx = jax.lax.top_k(flat, cfg.max_keypoints)
+    top, idx = jax.lax.top_k(flat, k_level)
     yy = (idx // w).astype(jnp.float32)
     xx = (idx % w).astype(jnp.float32)
     xy = jnp.stack([xx, yy], -1)
@@ -163,4 +159,60 @@ def orb_detect_and_describe(
         score=jnp.where(mask, top, 0.0),
         mask=mask,
         desc=packed,
+    )
+
+
+def _level_quotas(cfg: ORBConfig, n_levels: int) -> list:
+    """cv2-style geometric per-level feature budget summing to
+    max_keypoints (ORB.cpp distributes nfeatures ∝ level area)."""
+    f = 1.0 / cfg.scale_factor
+    w = [f**i for i in range(n_levels)]
+    s = sum(w)
+    q = [int(cfg.max_keypoints * wi / s) for wi in w]
+    q[0] += cfg.max_keypoints - sum(q)
+    return q
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def orb_detect_and_describe(
+    image: jax.Array, cfg: ORBConfig = ORBConfig()
+) -> Keypoints:
+    """(H, W) or (H, W, 1) grayscale [0,1] → Keypoints with packed uint8
+    descriptors (desc dtype uint8, shape (K, n_tests/8)).
+
+    Detects over an `n_levels`-deep scale pyramid (bilinear downscale by
+    `scale_factor`, cv2.ORB_create defaults 8 × 1.2) with geometric
+    per-level quotas; keypoint coords are reported at full resolution.
+    The pyramid is what makes smooth photographic texture detectable —
+    single-scale FAST fires only on the finest corners."""
+    if image.ndim == 3:
+        image = image[..., 0]
+    image = image.astype(jnp.float32)
+    h, w = image.shape
+
+    min_side = 2 * (cfg.patch_radius + 1) + 8
+    n_run = 1
+    while (
+        n_run < cfg.n_levels
+        and min(h, w) / cfg.scale_factor**n_run >= min_side
+    ):
+        n_run += 1
+    quotas = _level_quotas(cfg, n_run)
+    parts = []
+    for level, k_level in enumerate(quotas):
+        scale = cfg.scale_factor**level
+        h_l, w_l = int(round(h / scale)), int(round(w / scale))
+        img_l = (
+            image
+            if level == 0
+            else jax.image.resize(image, (h_l, w_l), "linear")
+        )
+        kp = _detect_level(img_l, k_level, cfg)
+        parts.append(kp.replace(xy=kp.xy * scale))
+
+    return Keypoints(
+        xy=jnp.concatenate([p.xy for p in parts]),
+        score=jnp.concatenate([p.score for p in parts]),
+        mask=jnp.concatenate([p.mask for p in parts]),
+        desc=jnp.concatenate([p.desc for p in parts]),
     )
