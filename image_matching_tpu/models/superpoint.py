@@ -58,9 +58,9 @@ class SuperPointBN(nn.Module):
             fold_parity,
             unfold_parity,
         )
+        from image_matching_tpu.ops.pallas.realign import pool_from_raw
         from image_matching_tpu.ops.s2d_conv import (
             depth_to_space,
-            maxpool2x2_s2d_from_raw,
             mm1x1_s2d,
             realign,
         )
@@ -83,13 +83,13 @@ class SuperPointBN(nn.Module):
         if use_fast:
             u = S2DDoubleConv(c1, dtype=self.dtype, name="inc")(x)
             u = S2DDoubleConv(c2, dtype=self.dtype, name="down1")(
-                maxpool2x2_s2d_from_raw(u)
+                pool_from_raw(u)
             )
             u = S2DDoubleConv(c3, dtype=self.dtype, name="down2")(
-                maxpool2x2_s2d_from_raw(u)
+                pool_from_raw(u)
             )
             u = S2DDoubleConv(c4, dtype=self.dtype, name="down3")(
-                maxpool2x2_s2d_from_raw(u)
+                pool_from_raw(u)
             )
             x = realign(u)  # aligned s2d of the Hc x Wc 128-ch map (small)
 
@@ -149,11 +149,11 @@ class SuperPointVGG(nn.Module):
     def __call__(self, image: jax.Array, train: bool = False) -> dict:
         del train  # no normalisation layers
         from image_matching_tpu.models.common import ConvParams
+        from image_matching_tpu.ops.pallas.realign import pool_from_raw
         from image_matching_tpu.ops.s2d_conv import (
             conv3x3_s2d_entry,
             conv3x3_s2d_raw,
             depth_to_space,
-            maxpool2x2_s2d_from_raw,
             mm1x1_s2d,
             realign,
         )
@@ -182,13 +182,13 @@ class SuperPointVGG(nn.Module):
             x = image.astype(self.dtype)
             u = conv(c1, c1, "conv1b", "raw")(conv(1, c1, "conv1a", "entry")(x))
             u = conv(c2, c2, "conv2b", "raw")(
-                conv(c1, c2, "conv2a", "entry")(maxpool2x2_s2d_from_raw(u))
+                conv(c1, c2, "conv2a", "entry")(pool_from_raw(u))
             )
             u = conv(c3, c3, "conv3b", "raw")(
-                conv(c2, c3, "conv3a", "entry")(maxpool2x2_s2d_from_raw(u))
+                conv(c2, c3, "conv3a", "entry")(pool_from_raw(u))
             )
             u = conv(c4, c4, "conv4b", "raw")(
-                conv(c3, c4, "conv4a", "entry")(maxpool2x2_s2d_from_raw(u))
+                conv(c3, c4, "conv4a", "entry")(pool_from_raw(u))
             )
             x = realign(u)  # aligned s2d of the Hc x Wc 128-ch map
             cpa = conv(c4, c5, "convPa", "raw")(x)

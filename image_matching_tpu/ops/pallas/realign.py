@@ -65,13 +65,54 @@ def maxpool_realign_pallas(
     )(u)
 
 
-def maxpool_realign(u: jax.Array, interpret: bool = False) -> jax.Array:
-    """Fused realign+maxpool with automatic fallback to the XLA slice
-    formulation when the row count doesn't block evenly."""
+def _dispatch(u: jax.Array, interpret: bool) -> jax.Array:
     h = u.shape[1] - 1
     for bh in (8, 4, 2):
         if h % bh == 0:
             return maxpool_realign_pallas(u, block_rows=bh, interpret=interpret)
+    from image_matching_tpu.ops.s2d_conv import maxpool2x2_s2d_from_raw
+
+    return maxpool2x2_s2d_from_raw(u)
+
+
+@jax.custom_vjp
+def _maxpool_realign_grad(u: jax.Array) -> jax.Array:
+    return _dispatch(u, interpret=False)
+
+
+def _maxpool_realign_fwd(u):
+    return _maxpool_realign_grad(u), u
+
+
+def _maxpool_realign_bwd(u, g):
+    from image_matching_tpu.ops.s2d_conv import maxpool2x2_s2d_from_raw
+
+    _, vjp = jax.vjp(maxpool2x2_s2d_from_raw, u)
+    return vjp(g)
+
+
+_maxpool_realign_grad.defvjp(_maxpool_realign_fwd, _maxpool_realign_bwd)
+
+
+def maxpool_realign(u: jax.Array, interpret: bool = False) -> jax.Array:
+    """Fused realign+maxpool with automatic fallback to the XLA slice
+    formulation when the row count doesn't block evenly.
+
+    Differentiable: the backward pass routes through the XLA
+    formulation's VJP (recompute — the kernel itself is forward-only),
+    so this is safe to call from a training graph."""
+    if interpret:
+        return _dispatch(u, interpret=True)
+    return _maxpool_realign_grad(u)
+
+
+def pool_from_raw(u: jax.Array) -> jax.Array:
+    """Platform-dispatched realigning pool: the Pallas fused kernel on
+    TPU, the XLA slice formulation elsewhere (CPU tests, platforms
+    without Mosaic). This is the model call sites' entry point — see
+    models/superpoint.py."""
+    if jax.default_backend() == "tpu":
+        return maxpool_realign(u)
     from image_matching_tpu.ops.s2d_conv import maxpool2x2_s2d_from_raw
 
     return maxpool2x2_s2d_from_raw(u)

@@ -58,6 +58,30 @@ def test_wrapper_block_size_fallbacks():
     )
 
 
+def test_custom_vjp_matches_xla_grad():
+    """maxpool_realign's backward (recompute through the XLA slice
+    formulation) equals the XLA formulation's own VJP."""
+    from image_matching_tpu.ops.pallas.realign import _maxpool_realign_bwd
+
+    u = _rand_u(1, 16, 24, 4, seed=5)
+    g = jnp.asarray(
+        np.random.default_rng(6).normal(size=(1, 16, 24, 4)).astype(np.float32)
+    )
+    ref_out, ref_vjp = jax.vjp(maxpool2x2_s2d_from_raw, u)
+    (got,) = _maxpool_realign_bwd(u, g)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref_vjp(g)[0]))
+
+
+def test_pool_from_raw_cpu_path():
+    """On CPU, pool_from_raw must route to the XLA formulation."""
+    from image_matching_tpu.ops.pallas.realign import pool_from_raw
+
+    u = _rand_u(1, 12, 20, 4, seed=7)
+    np.testing.assert_array_equal(
+        np.asarray(pool_from_raw(u)), np.asarray(maxpool2x2_s2d_from_raw(u))
+    )
+
+
 def test_bad_block_rows_raises():
     import pytest
 
