@@ -59,14 +59,46 @@ def detect_keypoints(
     )
     scores = jnp.where(border_ok[None], scores, 0.0)
 
-    flat = scores.reshape(b, h * w)
-    top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)
-    yy = (top_idx // w).astype(jnp.float32)
-    xx = (top_idx % w).astype(jnp.float32)
-    xy = jnp.stack([xx, yy], axis=-1)
+    if nms_radius >= 3:
+        # Exact two-stage top-k: radius-r NMS leaves non-tied survivors
+        # > r apart (two survivors within r of each other are each the
+        # max over a window containing the other → equal scores), so a
+        # 4x4 tile (intra-tile Chebyshev diameter 3 ≤ r) holds at most
+        # one survivor. Max-reduce each tile, sort the 16x-smaller tile
+        # map, then recover the within-tile offset — the full-heatmap
+        # sort was 0.64 ms on v5e at 480x640 (ROADMAP perf ledger).
+        top_scores, yy, xx = _tiled_topk(scores, max_keypoints, tile=4)
+    else:
+        flat = scores.reshape(b, h * w)
+        top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)
+        yy = top_idx // w
+        xx = top_idx % w
+    xy = jnp.stack(
+        [xx.astype(jnp.float32), yy.astype(jnp.float32)], axis=-1
+    )
     mask = top_scores > threshold
     return Keypoints(
         xy=xy,
         score=jnp.where(mask, top_scores, 0.0),
         mask=mask,
     )
+
+
+def _tiled_topk(scores: jax.Array, k: int, tile: int = 4):
+    """Top-k over (B, H, W) assuming ≤1 positive survivor per
+    tile×tile block (guaranteed by NMS radius ≥ tile−1 up to exact
+    score ties). Returns (scores, y, x) each (B, k)."""
+    b, h, w = scores.shape
+    ph, pw = -h % tile, -w % tile
+    if ph or pw:
+        scores = jnp.pad(scores, ((0, 0), (0, ph), (0, pw)))
+    th, tw = (h + ph) // tile, (w + pw) // tile
+    tiles = scores.reshape(b, th, tile, tw, tile).transpose(0, 1, 3, 2, 4)
+    tiles = tiles.reshape(b, th * tw, tile * tile)
+    tmax = tiles.max(axis=-1)
+    targ = tiles.argmax(axis=-1)
+    top_scores, tidx = jax.lax.top_k(tmax, k)
+    within = jnp.take_along_axis(targ, tidx, axis=1)
+    yy = (tidx // tw) * tile + within // tile
+    xx = (tidx % tw) * tile + within % tile
+    return top_scores, yy, xx

@@ -142,3 +142,28 @@ class TestSoftArgmax:
         )[0, 0]
         # 5x5 window truncation biases the estimate slightly toward centre
         np.testing.assert_allclose(refined, [16.4, 12.7], atol=0.2)
+
+
+class TestTiledTopK:
+    def test_matches_full_sort_after_nms(self):
+        """Tiled two-stage top-k equals the flat full-heatmap sort on
+        NMS'd scores (radius 4 → ≤1 survivor per 4x4 tile)."""
+        from image_matching_tpu.ops.detect import _tiled_topk
+        from image_matching_tpu.ops.nms import simple_nms
+
+        rng = np.random.default_rng(11)
+        for h, w in ((60, 80), (64, 96), (47, 53)):
+            heat = jnp.asarray(rng.uniform(size=(2, h, w)).astype(np.float32))
+            scores = simple_nms(heat, 4, 2)
+            k = 64
+            flat_scores, flat_idx = jax.lax.top_k(scores.reshape(2, -1), k)
+            got_scores, yy, xx = _tiled_topk(scores, k, tile=4)
+            np.testing.assert_allclose(
+                np.asarray(got_scores), np.asarray(flat_scores), atol=0
+            )
+            got_idx = np.asarray(yy) * w + np.asarray(xx)
+            # positive-score entries must point at identical pixels
+            pos = np.asarray(flat_scores) > 0
+            np.testing.assert_array_equal(
+                got_idx[pos], np.asarray(flat_idx)[pos]
+            )
