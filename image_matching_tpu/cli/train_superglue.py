@@ -51,6 +51,7 @@ def parse_args():
     p.add_argument("--steps_per_epoch", type=int, default=500)
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--width", type=int, default=320)
+    p.add_argument("--log_interval", type=int, default=50)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
@@ -119,24 +120,35 @@ def main():
         pass
 
     key = jax.random.PRNGKey(args.seed + 7)
-    for epoch in range(args.epochs):
-        losses = []
-        t0 = time.perf_counter()
-        for _ in range(args.steps_per_epoch):
-            key, k = jax.random.split(key)
-            host = next(data_iter)
-            batch = shard_batch(mesh, {"image": jnp.asarray(host["image"])})
-            state, metrics = step_fn(state, batch, k)
-            losses.append(float(metrics["loss"]))
-            if writer and int(state.step) % 5 == 0:
-                writer.add_scalar("train/Mean_Loss",
-                                  float(np.mean(losses[-5:])), int(state.step))
-        log.info(
-            "epoch %d: mean loss %.4f (%.1f steps/s)",
-            epoch, float(np.mean(losses)),
-            args.steps_per_epoch / (time.perf_counter() - t0),
-        )
-        ckpt.save(state)
+    try:
+        for epoch in range(args.epochs):
+            losses = []  # device scalars; read back only at log points
+            t0 = time.perf_counter()
+            for i in range(args.steps_per_epoch):
+                key, k = jax.random.split(key)
+                host = next(data_iter)
+                batch = shard_batch(mesh, {"image": jnp.asarray(host["image"])})
+                state, metrics = step_fn(state, batch, k)
+                losses.append(metrics["loss"])
+                # one readback per interval — per-step float() through the
+                # TPU relay serialises the pipeline
+                if writer and (i + 1) % args.log_interval == 0:
+                    recent = float(np.mean(
+                        [float(x) for x in losses[-args.log_interval:]]
+                    ))
+                    step = int(state.step)
+                    writer.add_scalar("train/Mean_Loss", recent, step)
+                    rate = (i + 1) / (time.perf_counter() - t0)
+                    log.info("epoch %d step %d: loss %.4f (%.1f it/s)",
+                             epoch, step, recent, rate)
+            log.info(
+                "epoch %d: mean loss %.4f (%.1f steps/s)",
+                epoch, float(np.mean([float(x) for x in losses])),
+                args.steps_per_epoch / (time.perf_counter() - t0),
+            )
+            ckpt.save(state)
+    except KeyboardInterrupt:
+        log.info("interrupted — saving checkpoint")
     ckpt.save(state, wait=True)
 
 

@@ -31,6 +31,29 @@ class TestTrainSuperPointCLI:
         assert os.path.isdir(tmp_path / "run" / "checkpoints")
 
 
+class TestTrainSuperGlueCLI:
+    def test_synthetic_smoke(self, monkeypatch, tmp_path):
+        from image_matching_tpu.cli.train_superglue import main
+
+        run_cli(
+            monkeypatch, main,
+            [
+                "train_superglue", "--synthetic",
+                "--run_dir", str(tmp_path / "run"),
+                "--epochs", "1", "--steps_per_epoch", "2",
+                "--batch_size", "2",
+                "--height", "64", "--width", "64",
+                "--descriptor_dim", "32",
+                "--keypoint_encoder", "16", "32",
+                "--gnn_layers", "2",
+                "--sinkhorn_iterations", "5",
+                "--max_keypoints", "64",
+                "--log_interval", "1",
+            ],
+        )
+        assert os.path.isdir(tmp_path / "run" / "checkpoints")
+
+
 class TestMatchPairCLI:
     def test_ratio_matcher_smoke(self, monkeypatch, tmp_path):
         import cv2
