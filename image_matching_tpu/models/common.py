@@ -63,17 +63,15 @@ class S2DConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from image_matching_tpu.ops.s2d_conv import (
-            conv3x3_s2d_entry,
-            conv3x3_s2d_raw,
-        )
+        from image_matching_tpu.ops.pallas.entry_conv import entry_conv
+        from image_matching_tpu.ops.s2d_conv import conv3x3_s2d_raw
 
         ci = x.shape[-1] if self.mode == "entry" else x.shape[-1] // 4
         kernel, bias = ConvParams((3, 3, ci, self.features), name="Conv_0")()
         kd = kernel.astype(self.dtype)
         xd = x.astype(self.dtype)
         if self.mode == "entry":
-            y = conv3x3_s2d_entry(xd, kd)
+            y = entry_conv(xd, kd)
         else:
             y = conv3x3_s2d_raw(xd, kd)
         y = y + jnp.tile(bias, 4).astype(self.dtype)

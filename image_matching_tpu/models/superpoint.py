@@ -149,9 +149,9 @@ class SuperPointVGG(nn.Module):
     def __call__(self, image: jax.Array, train: bool = False) -> dict:
         del train  # no normalisation layers
         from image_matching_tpu.models.common import ConvParams
+        from image_matching_tpu.ops.pallas.entry_conv import entry_conv
         from image_matching_tpu.ops.pallas.realign import pool_from_raw
         from image_matching_tpu.ops.s2d_conv import (
-            conv3x3_s2d_entry,
             conv3x3_s2d_raw,
             depth_to_space,
             mm1x1_s2d,
@@ -166,7 +166,7 @@ class SuperPointVGG(nn.Module):
         if use_fast:
             def conv(ci, co, name, mode):
                 k, b = ConvParams((3, 3, ci, co), name=name)()
-                fn = conv3x3_s2d_entry if mode == "entry" else conv3x3_s2d_raw
+                fn = entry_conv if mode == "entry" else conv3x3_s2d_raw
 
                 def run(x):
                     y = fn(x, k.astype(self.dtype))
