@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Full self-supervised cycle (the reference's MagicPoint -> SuperPoint ->
+# SuperGlue recipe, README.md:63-157) on the PHOTO dataset:
+#
+#   1. synthetic-shapes detector pretrain   (cli.train_superpoint --synthetic)
+#   2. homographic-adaptation pseudo-labels (cli.export_pseudo, 50 warps)
+#   3. detector+descriptor retrain on pseudo-labels (cli.train_superpoint)
+#   4. SuperGlue training on warped pairs   (cli.train_superglue)
+#   5. evaluation of BASELINE configs 3/4   (cli.evaluate --configs sp spsg)
+#
+# Stage 1 is assumed done (runs/sp_synth_tpu); pass SKIP_PRETRAIN=0 to rerun.
+# Each stage is resumable; logs land in runs/logs/.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p runs/logs
+
+PHOTO=${PHOTO:-datasets/PHOTO}
+PRETRAIN_DIR=${PRETRAIN_DIR:-runs/sp_synth_tpu}
+RETRAIN_DIR=${RETRAIN_DIR:-runs/sp_photo}
+SG_DIR=${SG_DIR:-runs/sg_photo}
+LABELS=${LABELS:-runs/pseudo_photo}
+RETRAIN_ITER=${RETRAIN_ITER:-10000}
+SG_EPOCHS=${SG_EPOCHS:-20}
+
+if [ "${SKIP_PRETRAIN:-1}" != "1" ]; then
+  python -m image_matching_tpu.cli.train_superpoint --synthetic \
+    --run_dir "$PRETRAIN_DIR" --batch_size 32 --train_iter 30000 \
+    --save_interval 500 --resume 2>&1 | tee -a runs/logs/cycle_pretrain.log
+fi
+
+for task in train val; do
+  python -m image_matching_tpu.cli.export_pseudo \
+    --data_root "$PHOTO" --out "$LABELS" --task "$task" \
+    --checkpoint "$PRETRAIN_DIR/checkpoints" \
+    --height 240 --width 320 --batch_size 8 \
+    2>&1 | tee -a runs/logs/cycle_export.log
+done
+
+python -m image_matching_tpu.cli.train_superpoint \
+  --data_root "$PHOTO" --labels "$LABELS" --run_dir "$RETRAIN_DIR" \
+  --batch_size 32 --train_iter "$RETRAIN_ITER" --save_interval 500 \
+  --resume 2>&1 | tee -a runs/logs/cycle_retrain.log
+
+python -m image_matching_tpu.cli.train_superglue \
+  --data_root "$PHOTO" --sp_checkpoint "$RETRAIN_DIR/checkpoints" \
+  --run_dir "$SG_DIR" --epochs "$SG_EPOCHS" --steps_per_epoch 500 \
+  --batch_size 4 --resume 2>&1 | tee -a runs/logs/cycle_sg.log
+
+python -m image_matching_tpu.cli.evaluate --configs sp spsg \
+  --sp_checkpoint "$RETRAIN_DIR/checkpoints" \
+  --sg_checkpoint "$SG_DIR/checkpoints" \
+  --texture photo --out EVAL_learned.json \
+  2>&1 | tee -a runs/logs/cycle_eval.log
