@@ -54,6 +54,9 @@ def parse_args():
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--native_loader", action="store_true",
                    help="decode images through the C++ threaded loader")
+    p.add_argument("--host_data", action="store_true",
+                   help="generate synthetic batches with the host cv2 "
+                        "dataset instead of on device")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
@@ -124,26 +127,57 @@ def main():
 
     key = jax.random.PRNGKey(args.seed + 100)
 
+    device_data = (
+        (args.synthetic or args.data_root is None) and not args.host_data
+    )
+    if device_data:
+        # the whole batch — shapes, corners, warped pair, labels — is one
+        # jitted program; the only per-step host→device traffic is the
+        # PRNG key (data/synthetic_device.py)
+        from functools import partial
+
+        from image_matching_tpu.data.synthetic_device import synthetic_batch
+
+        @partial(jax.jit, donate_argnums=())
+        def synth_pair_batch(k):
+            k1, k2 = jax.random.split(k)
+            out = synthetic_batch(k1, args.batch_size, args.height, args.width)
+            return make_warped_pair_batch(
+                k2, out["image"], out["points"], out["points_mask"], pair_cfg
+            )
+
+        log.info("synthetic batches generated on device")
+
     def device_batch(host_batch, k):
+        if device_data:
+            return shard_batch(mesh, synth_pair_batch(k))
         images = jnp.asarray(host_batch["image"])
         pts = jnp.asarray(host_batch["points"])
         mask = jnp.asarray(host_batch["points_mask"])
         batch = make_warped_pair_batch(k, images, pts, mask, pair_cfg)
         return shard_batch(mesh, batch)
 
+    def next_host(it):
+        return None if device_data else next(it)
+
     t0 = time.perf_counter()
+    # host-side step counter: `int(state.step)` per iteration is a
+    # device→host readback — through the TPU relay that round-trip
+    # serialises the loop (measured: it, not compute, capped throughput)
+    step = int(state.step)
+    start_step = step
     try:
-        while int(state.step) < args.train_iter:
+        while step < args.train_iter:
             key, k_data, k_loss = jax.random.split(key, 3)
-            batch = device_batch(next(train_iter), k_data)
+            batch = device_batch(next_host(train_iter), k_data)
             state, metrics = train_step(state, batch, k_loss)
-            step = int(state.step)
+            step += 1
 
             if step % args.tensorboard_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 _, pr = diagnostics(state.variables, batch["image"], batch["labels_2d"])
                 m.update({k: float(v) for k, v in pr.items()})
-                rate = step / (time.perf_counter() - t0 + 1e-9)
+                rate = (step - start_step) / (time.perf_counter() - t0 + 1e-9)
                 log.info("step %d (%.1f it/s): %s", step, rate, m)
                 if writer:
                     for k_, v in m.items():
@@ -151,7 +185,7 @@ def main():
 
             if step % args.validation_interval == 0:
                 key, k_data, k_loss = jax.random.split(key, 3)
-                vbatch = device_batch(next(val_iter), k_data)
+                vbatch = device_batch(next_host(val_iter), k_data)
                 vm = eval_step(state, vbatch, k_loss)
                 log.info("val @%d: %s", step, {k: float(v) for k, v in vm.items()})
                 if writer:
