@@ -60,7 +60,18 @@ def main():
         state = create_train_state(
             jax.random.PRNGKey(0), model, (example,), init_kwargs={"train": True}
         )
-        state = CheckpointManager(args.checkpoint).restore(state)
+        if args.checkpoint.endswith(".npz"):
+            from image_matching_tpu.utils.weights import load_npz_into
+
+            loaded = load_npz_into(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                args.checkpoint,
+            )
+            state = state.replace(
+                params=loaded["params"], batch_stats=loaded["batch_stats"]
+            )
+        else:
+            state = CheckpointManager(args.checkpoint).restore(state)
         variables = state.variables
         log.info("loaded checkpoint step %d", int(state.step))
     else:

@@ -80,7 +80,19 @@ def main():
 
         sp_state = _cts(jax.random.PRNGKey(0), sp, (example,),
                         init_kwargs={"train": True})
-        sp_state = CheckpointManager(args.sp_checkpoint).restore(sp_state)
+        if args.sp_checkpoint.endswith(".npz"):
+            from image_matching_tpu.utils.weights import load_npz_into
+
+            loaded = load_npz_into(
+                {"params": sp_state.params,
+                 "batch_stats": sp_state.batch_stats},
+                args.sp_checkpoint,
+            )
+            sp_state = sp_state.replace(
+                params=loaded["params"], batch_stats=loaded["batch_stats"]
+            )
+        else:
+            sp_state = CheckpointManager(args.sp_checkpoint).restore(sp_state)
         sp_vars = sp_state.variables
         log.info("loaded SuperPoint from %s", args.sp_checkpoint)
 

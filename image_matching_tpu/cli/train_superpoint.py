@@ -58,6 +58,10 @@ def parse_args():
                    help="generate synthetic batches with the host cv2 "
                         "dataset instead of on device")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init_weights", default=None,
+                   help="warm-start params/batch_stats from a .npz weight "
+                        "snapshot (the reference's pretrained+retrain=True, "
+                        "Train_model_frontend.py:317-324); step resets to 0")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -93,6 +97,17 @@ def main():
         jax.random.PRNGKey(args.seed), model, (example,),
         tx=optax.adam(args.learning_rate), init_kwargs={"train": True},
     )
+    if args.init_weights:
+        from image_matching_tpu.utils.weights import load_npz_into
+
+        loaded = load_npz_into(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.init_weights,
+        )
+        state = state.replace(
+            params=loaded["params"], batch_stats=loaded["batch_stats"]
+        )
+        log.info("warm-started from %s", args.init_weights)
     ckpt = CheckpointManager(f"{args.run_dir}/checkpoints")
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)

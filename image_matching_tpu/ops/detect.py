@@ -59,7 +59,8 @@ def detect_keypoints(
     )
     scores = jnp.where(border_ok[None], scores, 0.0)
 
-    if nms_radius >= 3:
+    n_tiles = (-(-h // 4)) * (-(-w // 4))
+    if nms_radius >= 3 and max_keypoints <= n_tiles:
         # Exact two-stage top-k: radius-r NMS leaves non-tied survivors
         # > r apart (two survivors within r of each other are each the
         # max over a window containing the other → equal scores), so a
@@ -70,7 +71,12 @@ def detect_keypoints(
         top_scores, yy, xx = _tiled_topk(scores, max_keypoints, tile=4)
     else:
         flat = scores.reshape(b, h * w)
-        top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)
+        k = min(max_keypoints, h * w)
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+        if k < max_keypoints:
+            pad = ((0, 0), (0, max_keypoints - k))
+            top_scores = jnp.pad(top_scores, pad)
+            top_idx = jnp.pad(top_idx, pad)
         yy = top_idx // w
         xx = top_idx % w
     xy = jnp.stack(

@@ -99,6 +99,20 @@ def load_submodule_checkpoints(
     params = dict(variables["params"])
     batch_stats = dict(variables.get("batch_stats", {}))
 
+    def _load(path, st):
+        """Orbax checkpoint dir, or a portable .npz from
+        scripts/export_weights.py (utils/weights.py)."""
+        if path.endswith(".npz"):
+            from image_matching_tpu.utils.weights import load_npz_into
+
+            loaded = load_npz_into(
+                {"params": st.params, "batch_stats": st.batch_stats}, path
+            )
+            return st.replace(
+                params=loaded["params"], batch_stats=loaded["batch_stats"]
+            )
+        return CheckpointManager(path).restore(st)
+
     if sp_checkpoint:
         sp_cls = SuperPointBN if cfg.backbone == "bn" else SuperPointVGG
         sp = sp_cls(descriptor_dim=cfg.descriptor_dim, dtype=cfg.dtype)
@@ -106,7 +120,7 @@ def load_submodule_checkpoints(
             jax.random.PRNGKey(0), sp, (example_image,),
             init_kwargs={"train": True},
         )
-        st = CheckpointManager(sp_checkpoint).restore(st)
+        st = _load(sp_checkpoint, st)
         params["superpoint"] = st.params
         if st.batch_stats is not None:
             batch_stats["superpoint"] = st.batch_stats
@@ -135,7 +149,7 @@ def load_submodule_checkpoints(
             jax.random.PRNGKey(0), sg, (kp, kp, shape, shape),
             init_kwargs={"train": True},
         )
-        st = CheckpointManager(sg_checkpoint).restore(st)
+        st = _load(sg_checkpoint, st)
         params["superglue"] = st.params
         if st.batch_stats is not None:
             batch_stats["superglue"] = st.batch_stats

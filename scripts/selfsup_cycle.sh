@@ -28,10 +28,14 @@ if [ "${SKIP_PRETRAIN:-1}" != "1" ]; then
     --save_interval 500 --resume 2>&1 | tee -a runs/logs/cycle_pretrain.log
 fi
 
+# bank each stage's weights as a committable npz snapshot
+python scripts/export_weights.py --kind sp \
+  --checkpoint "$PRETRAIN_DIR/checkpoints" --out weights/sp_synth.npz
+
 for task in train val; do
   python -m image_matching_tpu.cli.export_pseudo \
     --data_root "$PHOTO" --out "$LABELS" --task "$task" \
-    --checkpoint "$PRETRAIN_DIR/checkpoints" \
+    --checkpoint weights/sp_synth.npz \
     --height 240 --width 320 --batch_size 8 \
     2>&1 | tee -a runs/logs/cycle_export.log
 done
@@ -39,15 +43,20 @@ done
 python -m image_matching_tpu.cli.train_superpoint \
   --data_root "$PHOTO" --labels "$LABELS" --run_dir "$RETRAIN_DIR" \
   --batch_size 32 --train_iter "$RETRAIN_ITER" --save_interval 500 \
+  --init_weights weights/sp_synth.npz \
   --resume 2>&1 | tee -a runs/logs/cycle_retrain.log
+python scripts/export_weights.py --kind sp \
+  --checkpoint "$RETRAIN_DIR/checkpoints" --out weights/sp_photo.npz
 
 python -m image_matching_tpu.cli.train_superglue \
-  --data_root "$PHOTO" --sp_checkpoint "$RETRAIN_DIR/checkpoints" \
+  --data_root "$PHOTO" --sp_checkpoint weights/sp_photo.npz \
   --run_dir "$SG_DIR" --epochs "$SG_EPOCHS" --steps_per_epoch 500 \
   --batch_size 4 --resume 2>&1 | tee -a runs/logs/cycle_sg.log
+python scripts/export_weights.py --kind sg \
+  --checkpoint "$SG_DIR/checkpoints" --out weights/sg_photo.npz
 
 python -m image_matching_tpu.cli.evaluate --configs sp spsg \
-  --sp_checkpoint "$RETRAIN_DIR/checkpoints" \
-  --sg_checkpoint "$SG_DIR/checkpoints" \
+  --sp_checkpoint weights/sp_photo.npz \
+  --sg_checkpoint weights/sg_photo.npz \
   --texture photo --out EVAL_learned.json \
   2>&1 | tee -a runs/logs/cycle_eval.log

@@ -82,6 +82,19 @@ class TestDetectKeypoints:
         assert int(kp.num_valid()[0]) == 1
         assert tuple(np.asarray(kp.xy[0, 0]).astype(int)) == (16, 16)
 
+    def test_k_exceeds_tile_count(self):
+        """Small image with max_keypoints larger than the 4x4-tile count
+        (the HA-export regime: top_k=1200 on small frames) must fall back
+        to the flat top-k, and larger than H*W must pad masked slots."""
+        s = jnp.zeros((1, 64, 64)).at[0, 10, 20].set(0.9).at[0, 40, 50].set(0.7)
+        for k in (1200, 8192):  # 256 tiles, 4096 pixels
+            kp = detect_keypoints(s, max_keypoints=k, threshold=0.1, nms_radius=4)
+            assert kp.xy.shape == (1, k, 2)
+            assert int(kp.num_valid()[0]) == 2
+            got = {tuple(map(int, p))
+                   for p, m in zip(np.asarray(kp.xy[0]), np.asarray(kp.mask[0])) if m}
+            assert got == {(20, 10), (50, 40)}
+
     def test_capacity_masking(self):
         rng = np.random.default_rng(2)
         s = jnp.asarray(rng.uniform(0.5, 1.0, (1, 64, 64)).astype(np.float32))
