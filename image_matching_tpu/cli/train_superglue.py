@@ -150,9 +150,13 @@ def main():
                     ))
                     step = int(state.step)
                     writer.add_scalar("train/Mean_Loss", recent, step)
+                    m = {k_: float(v) for k_, v in metrics.items()
+                         if k_ != "loss"}
+                    for k_, v in m.items():
+                        writer.add_scalar(f"train/{k_}", v, step)
                     rate = (i + 1) / (time.perf_counter() - t0)
-                    log.info("epoch %d step %d: loss %.4f (%.1f it/s)",
-                             epoch, step, recent, rate)
+                    log.info("epoch %d step %d: loss %.4f (%.1f it/s) %s",
+                             epoch, step, recent, rate, m)
             log.info(
                 "epoch %d: mean loss %.4f (%.1f steps/s)",
                 epoch, float(np.mean([float(x) for x in losses])),

@@ -99,7 +99,14 @@ def make_superglue_train_step(
         )
         n_gt = jnp.sum(gt0 < kp1.mask.shape[-1])
         n_pred = jnp.sum(out["matches0"] >= 0)
-        return loss, ({"loss": loss, "gt_matches": n_gt, "pred_matches": n_pred}, new_bs)
+        from image_matching_tpu.train.metrics import matching_precision_recall
+
+        pr = matching_precision_recall(
+            out["matches0"], gt0, kp0.mask, kp1.mask.shape[-1]
+        )
+        metrics = {"loss": loss, "gt_matches": n_gt, "pred_matches": n_pred}
+        metrics.update(pr)
+        return loss, (metrics, new_bs)
 
     def step(state: TrainState, batch: dict, key: jax.Array):
         images = batch["image"]
