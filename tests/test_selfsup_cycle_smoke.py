@@ -102,3 +102,25 @@ def test_pretrain_snapshot_warmstart_export(cycle_dir):
     assert files == ["im_0.npz", "im_1.npz"]
     pts = np.load(f"{root}/labels/train/im_0.npz")["pts"]
     assert pts.ndim == 2 and pts.shape[1] == 3  # x, y, score rows
+
+    # retrain from the exported pseudo-labels (cycle stage 3): needs a
+    # val split too, and the labels dir layout from export_pseudo
+    os.makedirs(f"{root}/data/val", exist_ok=True)
+    rng2 = np.random.default_rng(1)
+    cv2.imwrite(f"{root}/data/val/imv_0.png",
+                (rng2.random((H, W)) * 255).astype(np.uint8))
+    _run_cli(ep.main, [
+        "--data_root", f"{root}/data", "--out", f"{root}/labels",
+        "--task", "val", "--checkpoint", f"{root}/sp.npz",
+        "--height", str(H), "--width", str(W), "--batch_size", "1",
+        "--num_homographies", "3",
+    ])
+    _run_cli(tsp.main, [
+        "--data_root", f"{root}/data", "--labels", f"{root}/labels",
+        "--run_dir", f"{root}/sp3", "--batch_size", "2",
+        "--train_iter", "2", "--save_interval", "2",
+        "--height", str(H), "--width", str(W),
+        "--init_weights", f"{root}/sp.npz",
+        "--tensorboard_interval", "1000", "--validation_interval", "1000",
+    ])
+    assert CheckpointManager(f"{root}/sp3/checkpoints").latest_step() == 2
