@@ -173,3 +173,39 @@ class TestMatching:
         assert out["matches0"].shape == (1, 32)
         assert out["keypoints0"].xy.shape == (1, 32, 2)
         assert np.isfinite(np.asarray(out["log_coupling"])).all()
+
+    def test_fused_detect_matches_separate(self):
+        """The 2B-batched detect fast path must agree with detecting each
+        image separately (per-sample conv/BN numerics are batch-size
+        independent)."""
+        cfg = MatchingConfig(
+            backbone="bn",
+            descriptor_dim=64,
+            max_keypoints=16,
+            keypoint_threshold=0.0,
+            keypoint_encoder=(32, 64),
+            gnn_layers=2,
+            sinkhorn_iterations=10,
+            compute_dtype="float32",
+        )
+        model = Matching(cfg)
+        rng = np.random.default_rng(7)
+        img0 = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 1)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 1)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), img0, img1)
+
+        kp0 = model.apply(variables, img0, method=Matching.detect)
+        kp1 = model.apply(variables, img1, method=Matching.detect)
+        fused = model.apply(variables, img0, img1)
+        sep = model.apply(variables, img0, img1, kpts0=kp0, kpts1=kp1)
+        np.testing.assert_allclose(
+            np.asarray(fused["keypoints0"].xy), np.asarray(kp0.xy), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["keypoints1"].xy), np.asarray(kp1.xy), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["matching_scores0"]),
+            np.asarray(sep["matching_scores0"]),
+            atol=1e-4,
+        )
