@@ -186,6 +186,9 @@ class SuperGlue(nn.Module):
     match_threshold: float = 0.2
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"  # "auto" | "einsum" | "flash"
+    # "auto": fused Pallas iteration loop (ops/pallas/sinkhorn.py) at
+    # inference on TPU, differentiable scan when training / elsewhere
+    sinkhorn_impl: str = "auto"  # "auto" | "scan" | "pallas"
 
     def _layer_names(self):
         return tuple(
@@ -232,8 +235,16 @@ class SuperGlue(nn.Module):
         bin_score = self.param(
             "bin_score", nn.initializers.constant(1.0), (), jnp.float32
         )
+        sk_impl = self.sinkhorn_impl
+        if sk_impl == "auto":
+            sk_impl = (
+                "pallas"
+                if not train and jax.default_backend() == "tpu"
+                else "scan"
+            )
         z = log_optimal_transport(
-            scores, bin_score, self.sinkhorn_iterations, mask0=mask0, mask1=mask1
+            scores, bin_score, self.sinkhorn_iterations,
+            mask0=mask0, mask1=mask1, impl=sk_impl,
         )
         matches0, matches1, mscores0, mscores1 = extract_matches_from_transport(
             z, self.match_threshold, mask0=mask0, mask1=mask1

@@ -50,13 +50,14 @@ def log_sinkhorn(
     return z + u[..., :, None] + v[..., None, :]
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "impl"))
 def log_optimal_transport(
     scores: jax.Array,
     bin_score: jax.Array,
     iters: int = 100,
     mask0: Optional[jax.Array] = None,
     mask1: Optional[jax.Array] = None,
+    impl: str = "scan",
 ) -> jax.Array:
     """Differentiable OT with learned dustbin rows/cols.
 
@@ -67,6 +68,9 @@ def log_optimal_transport(
         30 in the eval CLIs).
       mask0, mask1: optional (..., M)/(..., N) validity masks for padded
         keypoint slots.
+      impl: "scan" (differentiable, default) or "pallas" (fused
+        VMEM-resident iteration loop, inference-only —
+        ops/pallas/sinkhorn.py).
 
     Returns: (..., M+1, N+1) log-coupling, probabilities scaled by the
     valid count (m+n) exactly as the reference does (its `Z - norm`).
@@ -109,7 +113,19 @@ def log_optimal_transport(
         [log_nu, (jnp.log(jnp.maximum(ms, 1e-12)) + norm)[..., None]], axis=-1
     )
 
-    z = log_sinkhorn(couplings, log_mu, log_nu, iters)
+    if impl == "pallas":
+        from image_matching_tpu.ops.pallas.sinkhorn import fused_log_sinkhorn
+
+        bshape = couplings.shape[:-2]
+        c3 = couplings.reshape((-1,) + couplings.shape[-2:])
+        z = fused_log_sinkhorn(
+            c3,
+            log_mu.reshape(-1, log_mu.shape[-1]),
+            log_nu.reshape(-1, log_nu.shape[-1]),
+            iters,
+        ).reshape(bshape + couplings.shape[-2:])
+    else:
+        z = log_sinkhorn(couplings, log_mu, log_nu, iters)
     return z - norm[..., None, None]
 
 
