@@ -47,6 +47,12 @@ def parse_args():
     p.add_argument("--max_keypoints", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off, the "
+                        "reference's behavior)")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear lr warmup steps (0 = constant lr, the "
+                        "reference's behavior)")
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--steps_per_epoch", type=int, default=500)
     p.add_argument("--height", type=int, default=240)
@@ -107,10 +113,17 @@ def main():
 
     images0 = jnp.zeros((1, args.height, args.width, 1))
     kp0, kp1, *_ = generate_pair(jax.random.PRNGKey(1), sp, sp_vars, images0, cfg)
+    if args.warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, args.learning_rate, args.warmup_steps)
+    else:
+        lr = args.learning_rate
+    tx = optax.adam(lr)
+    if args.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(args.grad_clip), tx)
     state = create_train_state(
         jax.random.PRNGKey(args.seed), sg,
         (kp0, kp1, (args.height, args.width), (args.height, args.width)),
-        tx=optax.adam(args.learning_rate), init_kwargs={"train": True},
+        tx=tx, init_kwargs={"train": True},
     )
     ckpt = CheckpointManager(f"{args.run_dir}/checkpoints")
     if args.resume and ckpt.latest_step() is not None:
