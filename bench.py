@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 4
+import os
+
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 HEIGHT, WIDTH = 480, 640
 MAX_KEYPOINTS = 1024
 N_SMALL, N_LARGE = 4, 12
