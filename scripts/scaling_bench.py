@@ -6,11 +6,11 @@ fixed per-device batch over growing mesh sizes and reports throughput
 and scaling efficiency vs the 1-device run.
 
 On real multi-chip hardware this measures ICI scaling; in this
-environment (one chip) run it on the virtual CPU mesh to validate the
-methodology and the collective structure:
+environment (one chip) it runs on the virtual CPU mesh to validate the
+methodology and the collective structure (CPU is forced in-process —
+this platform's sitecustomize registers the TPU before env vars apply):
 
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python scripts/scaling_bench.py --mesh_sizes 1 2 4 8
+  python scripts/scaling_bench.py --mesh_sizes 1 2 4 8
 
 Writes runs/scaling_bench_cpu_mesh.json (CPU-mesh numbers are
 validation-only — see the caveat field written into the JSON).
@@ -36,7 +36,18 @@ def main():
     p.add_argument("--out", default="runs/scaling_bench_cpu_mesh.json")
     args = p.parse_args()
 
+    import os
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={max(args.mesh_sizes)}"
+    )
     import jax
+
+    # sitecustomize registers the TPU plugin before env vars are read —
+    # force CPU in-process so this never contends with a training run
+    # holding the single-tenant chip
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     import optax
