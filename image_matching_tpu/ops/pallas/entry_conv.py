@@ -127,10 +127,15 @@ _entry_conv_grad.defvjp(_entry_conv_fwd, _entry_conv_bwd)
 
 
 def entry_conv(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Array:
-    """Platform-dispatched entry conv: Pallas im2col kernel on TPU, the
-    XLA stride-2 4x4 formulation elsewhere."""
+    """Entry conv: the XLA stride-2 4x4 formulation by default.
+
+    The Pallas im2col kernel (exact in interpret mode, tested) does NOT
+    yet compile on real TPU hardware: Mosaic rejects the 16-way tap
+    concatenation ("result/input offset mismatch on non-concat
+    dimension", hit 2026-08-17 during the learned-pipeline eval). Until
+    the tap assembly is rewritten in a Mosaic-lowerable form, hardware
+    paths use conv3x3_s2d_entry (~82 TFLOPS on v5e); interpret=True
+    keeps exercising the kernel in tests."""
     if interpret:
         return _dispatch(x, w, interpret=True)
-    if jax.default_backend() == "tpu":
-        return _entry_conv_grad(x, w)
     return conv3x3_s2d_entry(x, w)
