@@ -107,12 +107,16 @@ def maxpool_realign(u: jax.Array, interpret: bool = False) -> jax.Array:
 
 
 def pool_from_raw(u: jax.Array) -> jax.Array:
-    """Platform-dispatched realigning pool: the Pallas fused kernel on
-    TPU, the XLA slice formulation elsewhere (CPU tests, platforms
-    without Mosaic). This is the model call sites' entry point — see
-    models/superpoint.py."""
-    if jax.default_backend() == "tpu":
-        return maxpool_realign(u)
+    """Realigning pool — currently the XLA slice formulation everywhere.
+
+    The Pallas fused kernel (above, interpret-tested) does NOT yet
+    compile on real TPU hardware: Mosaic rejects the shifted in-VMEM
+    slices of the odd-width row block ("Slice shape along dimension 2
+    must be aligned to tiling (8)", hit 2026-08-17 at the 240x320 eval
+    shape). Until the slicing is rewritten tile-aligned, hardware paths
+    use maxpool2x2_s2d_from_raw; maxpool_realign(interpret=True) keeps
+    the kernel exercised in tests. This is the model call sites' entry
+    point — see models/superpoint.py."""
     from image_matching_tpu.ops.s2d_conv import maxpool2x2_s2d_from_raw
 
     return maxpool2x2_s2d_from_raw(u)
