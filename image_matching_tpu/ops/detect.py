@@ -93,18 +93,32 @@ def detect_keypoints(
 def _tiled_topk(scores: jax.Array, k: int, tile: int = 4):
     """Top-k over (B, H, W) assuming ≤1 positive survivor per
     tile×tile block (guaranteed by NMS radius ≥ tile−1 up to exact
-    score ties). Returns (scores, y, x) each (B, k)."""
+    score ties). Returns (scores, y, x) each (B, k).
+
+    The tile max-reduce runs as a strided separable reduce_window —
+    layout-friendly, unlike the reshape(…, tile, …, tile)+transpose
+    formulation, whose lane-crossing transpose was the single most
+    expensive fusion in the detect path (1.1 ms at 480×640×8 on v5e).
+    The within-tile offset is recovered only for the k winning tiles by
+    gathering their tile×tile blocks."""
     b, h, w = scores.shape
     ph, pw = -h % tile, -w % tile
     if ph or pw:
         scores = jnp.pad(scores, ((0, 0), (0, ph), (0, pw)))
     th, tw = (h + ph) // tile, (w + pw) // tile
-    tiles = scores.reshape(b, th, tile, tw, tile).transpose(0, 1, 3, 2, 4)
-    tiles = tiles.reshape(b, th * tw, tile * tile)
-    tmax = tiles.max(axis=-1)
-    targ = tiles.argmax(axis=-1)
-    top_scores, tidx = jax.lax.top_k(tmax, k)
-    within = jnp.take_along_axis(targ, tidx, axis=1)
-    yy = (tidx // tw) * tile + within // tile
-    xx = (tidx % tw) * tile + within % tile
+    tmax = jax.lax.reduce_window(
+        scores, -jnp.inf, jax.lax.max,
+        (1, tile, tile), (1, tile, tile), "VALID",
+    )  # (B, th, tw)
+    top_scores, tidx = jax.lax.top_k(tmax.reshape(b, th * tw), k)
+    ty, tx = tidx // tw, tidx % tw
+    # gather each winning tile's block and argmax inside it
+    dy = jnp.arange(tile)
+    yy_all = ty[..., None] * tile + dy  # (B, k, tile)
+    xx_all = tx[..., None] * tile + dy
+    bidx = jnp.arange(b)[:, None, None, None]
+    block = scores[bidx, yy_all[..., :, None], xx_all[..., None, :]]
+    within = jnp.argmax(block.reshape(b, k, tile * tile), axis=-1)
+    yy = ty * tile + within // tile
+    xx = tx * tile + within % tile
     return top_scores, yy, xx
