@@ -58,15 +58,23 @@ def labels_2d_to_3d(
     return cells / jnp.maximum(denom, 1e-12)
 
 
-@partial(jax.jit, static_argnames=("cell_size",))
-def flatten_detection(semi: jax.Array, cell_size: int = 8) -> jax.Array:
+@partial(jax.jit, static_argnames=("cell_size", "dtype"))
+def flatten_detection(
+    semi: jax.Array, cell_size: int = 8, dtype=None
+) -> jax.Array:
     """Raw detector logits (B, Hc, Wc, 65) -> dense heatmap (B, H, W, 1).
 
     Softmax over the 65 channels, drop the dustbin, pixel-shuffle up —
     `flattenDetection` (utils/utils.py:491-505) without the NCHW dance.
+
+    The softmax always accumulates in f32; `dtype` (default: semi's
+    dtype) sets the emitted heatmap precision — the inference detect
+    path passes bfloat16, halving the full-resolution pixel-shuffle
+    and NMS traffic (probabilities near the 0.005-0.015 thresholds
+    carry ~2e-5 resolution in bf16).
     """
-    dense = jax.nn.softmax(semi, axis=-1)
-    nodust = dense[..., :-1]
+    dense = jax.nn.softmax(semi.astype(jnp.float32), axis=-1)
+    nodust = dense[..., :-1].astype(dtype or semi.dtype)
     return depth_to_space(nodust, cell_size)
 
 

@@ -242,7 +242,10 @@ def superpoint_postprocess(
     descriptor sampling + L2-normalise — all jitted, batched, static.
     """
     if heatmap is None:
-        heatmap = flatten_detection(outputs["semi"], CELL)
+        # bf16 heatmap: halves the full-res pixel-shuffle + NMS traffic;
+        # scores near the detection thresholds keep ~2e-5 resolution.
+        # Callers needing f32 (e.g. HA-export aggregation) pass heatmap=.
+        heatmap = flatten_detection(outputs["semi"], CELL, dtype=jnp.bfloat16)
     kpts = detect_keypoints(
         heatmap,
         max_keypoints=max_keypoints,

@@ -85,7 +85,7 @@ def detect_keypoints(
     mask = top_scores > threshold
     return Keypoints(
         xy=xy,
-        score=jnp.where(mask, top_scores, 0.0),
+        score=jnp.where(mask, top_scores, 0.0).astype(jnp.float32),
         mask=mask,
     )
 
@@ -95,30 +95,42 @@ def _tiled_topk(scores: jax.Array, k: int, tile: int = 4):
     tile×tile block (guaranteed by NMS radius ≥ tile−1 up to exact
     score ties). Returns (scores, y, x) each (B, k).
 
-    The tile max-reduce runs as a strided separable reduce_window —
-    layout-friendly, unlike the reshape(…, tile, …, tile)+transpose
-    formulation, whose lane-crossing transpose was the single most
-    expensive fusion in the detect path (1.1 ms at 480×640×8 on v5e).
-    The within-tile offset is recovered only for the k winning tiles by
-    gathering their tile×tile blocks."""
+    Gather-free: TPU gathers run on the scalar core (~0.2 µs/element —
+    recovering 1024 winners via take_along_axis measured 1.6 ms at
+    480×640×8 on v5e). Instead (a) the tile max-reduce runs as a strided
+    reduce_window (layout-friendly — the reshape+transpose tile
+    flattening was another 1.1 ms), (b) each tile's argmax *position*
+    is reduced into a dense map with a min-window over masked linear
+    indices, and (c) one variadic sort carries the position alongside
+    the score, so the top-k winners arrive with their coordinates."""
     b, h, w = scores.shape
     ph, pw = -h % tile, -w % tile
     if ph or pw:
         scores = jnp.pad(scores, ((0, 0), (0, ph), (0, pw)))
-    th, tw = (h + ph) // tile, (w + pw) // tile
+    hp, wp = h + ph, w + pw
+    th, tw = hp // tile, wp // tile
     tmax = jax.lax.reduce_window(
         scores, -jnp.inf, jax.lax.max,
         (1, tile, tile), (1, tile, tile), "VALID",
     )  # (B, th, tw)
-    top_scores, tidx = jax.lax.top_k(tmax.reshape(b, th * tw), k)
-    ty, tx = tidx // tw, tidx % tw
-    # gather each winning tile's block and argmax inside it
-    dy = jnp.arange(tile)
-    yy_all = ty[..., None] * tile + dy  # (B, k, tile)
-    xx_all = tx[..., None] * tile + dy
-    bidx = jnp.arange(b)[:, None, None, None]
-    block = scores[bidx, yy_all[..., :, None], xx_all[..., None, :]]
-    within = jnp.argmax(block.reshape(b, k, tile * tile), axis=-1)
-    yy = ty * tile + within // tile
-    xx = tx * tile + within % tile
-    return top_scores, yy, xx
+    # dense per-tile argmax position: linear indices are exact in f32
+    # (hp*wp < 2^24), masked to +inf off the maximum, min-reduced
+    lin = (
+        jnp.arange(hp, dtype=jnp.float32)[:, None] * wp
+        + jnp.arange(wp, dtype=jnp.float32)[None, :]
+    )
+    tmax_up = jnp.broadcast_to(
+        tmax[:, :, None, :, None], (b, th, tile, tw, tile)
+    ).reshape(b, hp, wp)
+    cand = jnp.where(scores == tmax_up, lin[None], jnp.inf)
+    tile_lin = -jax.lax.reduce_window(
+        -cand, -jnp.inf, jax.lax.max,
+        (1, tile, tile), (1, tile, tile), "VALID",
+    )
+    neg_sorted, lin_sorted = jax.lax.sort(
+        (-tmax.reshape(b, th * tw), tile_lin.reshape(b, th * tw)),
+        dimension=-1, num_keys=1,
+    )
+    top_scores = -neg_sorted[:, :k]
+    sel = lin_sorted[:, :k].astype(jnp.int32)
+    return top_scores, sel // wp, sel % wp
