@@ -24,19 +24,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(u_hbm, out_ref, scratch, sem, *, bh: int, w: int, c: int):
+def _kernel(u_hbm, out_lo, out_hi, s_a, s_b, s_c, s_d, sems, *, bh: int,
+            w: int, c: int):
+    """Spatial (py, px) shifts happen on the DMA side; the channel split
+    works on 2C-lane group *pairs* (Mosaic rejects any DMA or slice
+    whose lane extent is under/unaligned to 128, so C=64 single-group
+    slabs are illegal; bf16 lane rotates are also unimplemented).
+    Layout of U's channels is [g00 g01 g10 g11]·C:
+
+      s_a = rows+0, cols+0, ch[0:2c]     g00 in lanes [0:c]
+      s_b = rows+0, cols+1, ch[0:2c]     g01 (shifted) in lanes [c:2c]
+      s_c = rows+1, cols+0, ch[2c:4c]    g10 in lanes [0:c]
+      s_d = rows+1, cols+1, ch[2c:4c]    g11 (shifted) in lanes [c:2c]
+
+    out_lo holds max(g00, g10) in lanes [0:c]; out_hi holds
+    max(g01, g11) in lanes [c:2c]; the wrapper takes
+    max(out_lo[..:c], out_hi[..c:]) in XLA where sub-128-lane slices
+    are legal (a ~10 MB elementwise pass, ≪ the DMA win)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        u_hbm.at[b, pl.ds(i * bh, bh + 1)], scratch, sem
-    )
-    cp.start()
-    cp.wait()
-    g00 = scratch[0:bh, 0:w, 0 * c:1 * c]
-    g01 = scratch[0:bh, 1:w + 1, 1 * c:2 * c]
-    g10 = scratch[1:bh + 1, 0:w, 2 * c:3 * c]
-    g11 = scratch[1:bh + 1, 1:w + 1, 3 * c:4 * c]
-    out_ref[0] = jnp.maximum(jnp.maximum(g00, g01), jnp.maximum(g10, g11))
+    r0 = i * bh
+    cps = [
+        pltpu.make_async_copy(
+            u_hbm.at[b, pl.ds(r0 + py, bh), pl.ds(px, w),
+                     pl.ds(py * 2 * c, 2 * c)],
+            dst, sems.at[py * 2 + px],
+        )
+        for (py, px), dst in zip(
+            [(0, 0), (0, 1), (1, 0), (1, 1)], [s_a, s_b, s_c, s_d]
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    out_lo[0] = jnp.maximum(s_a[...], s_c[...])
+    out_hi[0] = jnp.maximum(s_b[...], s_d[...])
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -49,20 +72,31 @@ def maxpool_realign_pallas(
     if h % block_rows != 0:
         raise ValueError(f"H={h} not divisible by block_rows={block_rows}")
     kernel = functools.partial(_kernel, bh=block_rows, w=w, c=c)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, h // block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, block_rows, w, c), lambda bi, i: (bi, i, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), u.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_rows, w, 2 * c),
+                         lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, block_rows, w, 2 * c),
+                         lambda bi, i: (bi, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, 2 * c), u.dtype),
+            jax.ShapeDtypeStruct((b, h, w, 2 * c), u.dtype),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((block_rows + 1, w1, c4), u.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((block_rows, w, 2 * c), u.dtype),
+            pltpu.VMEM((block_rows, w, 2 * c), u.dtype),
+            pltpu.VMEM((block_rows, w, 2 * c), u.dtype),
+            pltpu.VMEM((block_rows, w, 2 * c), u.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(u)
+    lo, hi = out
+    return jnp.maximum(lo[..., :c], hi[..., c:])
 
 
 def _dispatch(u: jax.Array, interpret: bool) -> jax.Array:
@@ -109,14 +143,27 @@ def maxpool_realign(u: jax.Array, interpret: bool = False) -> jax.Array:
 def pool_from_raw(u: jax.Array) -> jax.Array:
     """Realigning pool — currently the XLA slice formulation everywhere.
 
-    The Pallas fused kernel (above, interpret-tested) does NOT yet
-    compile on real TPU hardware: Mosaic rejects the shifted in-VMEM
-    slices of the odd-width row block ("Slice shape along dimension 2
-    must be aligned to tiling (8)", hit 2026-08-17 at the 240x320 eval
-    shape). Until the slicing is rewritten tile-aligned, hardware paths
-    use maxpool2x2_s2d_from_raw; maxpool_realign(interpret=True) keeps
-    the kernel exercised in tests. This is the model call sites' entry
-    point — see models/superpoint.py."""
+    The Pallas kernel (above, interpret-tested, exact) does NOT yet
+    compile on real TPU hardware. Empirically mapped Mosaic constraints
+    (v5e, 2026-08-18), each hit in turn while reformulating:
+      1. in-VMEM shifted slices: slice shapes/offsets in the sublane
+         dim must be multiples of 8 (odd W+1 row blocks fail);
+      2. DMA lane slabs must be ≥128 lanes and 128-aligned (a C=64
+         parity-group slab is illegal even HBM→VMEM);
+      3. bf16 lane rotate is unimplemented ("Rotate with non-32-bit
+         data"), so group pairs can't be realigned in-register;
+      4. DMA *source offsets* in the sublane dim must be provably
+         8-divisible — the ±1-pixel parity shift itself is the blocker.
+    The current kernel form (2C-lane pair slabs, shifts on the DMA,
+    two partial outputs max-combined in XLA) clears 1-3 and stops at 4;
+    fixing it needs either a Mosaic-side relaxation or an algebra change
+    that keeps U's parity groups 8-aligned. XLA's fused 4-slice max
+    costs 0.91 ms at the bench shape (profiler) — reformulations tried
+    in scripts-era probes (row-first, group-dim reshape) measured
+    SLOWER, so XLA remains the hardware path.
+    maxpool_realign(interpret=True) keeps the kernel exercised in
+    tests. This is the model call sites' entry point — see
+    models/superpoint.py."""
     from image_matching_tpu.ops.s2d_conv import maxpool2x2_s2d_from_raw
 
     return maxpool2x2_s2d_from_raw(u)
