@@ -76,6 +76,32 @@ class TestSuperPoint:
                 np.linalg.norm(valid_desc, axis=-1), 1.0, rtol=1e-4
             )
 
+    def test_bf16_heatmap_matches_f32_keypoints(self):
+        """The default bf16 heatmap path (perf: halved pixel-shuffle/NMS
+        traffic) must select the same keypoints as an explicit f32
+        heatmap away from exact score ties."""
+        from image_matching_tpu.geometry.labels import flatten_detection
+
+        model = SuperPointBN(descriptor_dim=64)
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 1)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), img)
+        out = model.apply(variables, img)
+        kp_bf16 = superpoint_postprocess(out, max_keypoints=32, threshold=0.001)
+        heat32 = flatten_detection(out["semi"], 8, dtype=jnp.float32)
+        kp_f32 = superpoint_postprocess(
+            out, max_keypoints=32, threshold=0.001, heatmap=heat32
+        )
+        for b in range(2):
+            got = {tuple(map(int, p)) for p, m in
+                   zip(np.asarray(kp_bf16.xy[b]), np.asarray(kp_bf16.mask[b])) if m}
+            want = {tuple(map(int, p)) for p, m in
+                    zip(np.asarray(kp_f32.xy[b]), np.asarray(kp_f32.mask[b])) if m}
+            # bf16 rounding may swap marginal entries at the capacity
+            # boundary; demand near-total agreement, not bit equality
+            inter = len(got & want)
+            assert inter >= 0.9 * max(len(got), len(want), 1)
+
 
 class TestSuperGlue:
     def _model_and_vars(self, d=64, k=16, layers=4, iters=20):
