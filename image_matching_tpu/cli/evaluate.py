@@ -58,6 +58,7 @@ def _sp_model_and_vars(args):
         descriptor_dim=args.descriptor_dim,
         max_keypoints=512,
         keypoint_threshold=0.001,
+        subpixel=True,
         keypoint_encoder=(32, 64, 128) if args.descriptor_dim == 128
         else (32, 64, 128, 256),
         sinkhorn_iterations=30,

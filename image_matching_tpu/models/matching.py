@@ -38,6 +38,12 @@ class MatchingConfig:
     keypoint_threshold: float = struct.field(pytree_node=False, default=0.005)
     nms_radius: int = struct.field(pytree_node=False, default=4)
     border: int = struct.field(pytree_node=False, default=4)
+    # log-patch soft-argmax keypoint refinement (the reference's
+    # HA-export frontend step, model_wrap.py:146-176). Off by default:
+    # reference test-pipeline parity uses integer NMS coordinates, and
+    # the K-point patch gather costs throughput; enable for
+    # registration-quality work (cli/evaluate does).
+    subpixel: bool = struct.field(pytree_node=False, default=False)
     # SuperGlue
     keypoint_encoder: Tuple[int, ...] = struct.field(
         pytree_node=False, default=(32, 64, 128, 256)
@@ -95,6 +101,7 @@ class Matching(nn.Module):
             threshold=cfg.keypoint_threshold,
             nms_radius=cfg.nms_radius,
             border=cfg.border,
+            subpixel=cfg.subpixel,
         )
 
     def match_keypoints(

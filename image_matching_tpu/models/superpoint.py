@@ -234,12 +234,20 @@ def superpoint_postprocess(
     nms_radius: int = 4,
     border: int = 4,
     heatmap: Optional[jax.Array] = None,
+    subpixel: bool = False,
 ) -> Keypoints:
     """Dense net outputs → fixed-K keypoints with sampled descriptors.
 
     Mirrors superpoint_test.py:128-155: softmax over 65, drop dustbin,
     pixel-shuffle to H×W, simple_nms, threshold+border, top-K, bilinear
     descriptor sampling + L2-normalise — all jitted, batched, static.
+
+    `subpixel=True` additionally refines keypoint coordinates by the
+    log-patch soft-argmax the reference applies in its HA-export
+    frontend (model_wrap.py:146-176) — off by default (the reference's
+    test pipelines use integer NMS coordinates; refinement costs a
+    K-point patch gather, fine for eval/registration, skipped on the
+    throughput path).
     """
     if heatmap is None:
         # bf16 heatmap: halves the full-res pixel-shuffle + NMS traffic;
@@ -253,6 +261,18 @@ def superpoint_postprocess(
         nms_radius=nms_radius,
         border=border,
     )
+    if subpixel:
+        from image_matching_tpu.ops.sampling import refine_keypoints_subpixel
+
+        refined = refine_keypoints_subpixel(
+            heatmap.astype(jnp.float32), kpts.xy
+        )
+        h, w = heatmap.shape[-2:] if heatmap.ndim == 3 else heatmap.shape[1:3]
+        refined = jnp.clip(
+            refined, 0.0,
+            jnp.array([w - 1.0, h - 1.0], refined.dtype),
+        )
+        kpts = kpts.replace(xy=jnp.where(kpts.mask[..., None], refined, kpts.xy))
     desc = sample_descriptors(kpts.xy, outputs["desc_map"], CELL)
     desc = desc * kpts.mask[..., None].astype(desc.dtype)
     return kpts.replace(desc=desc)

@@ -235,3 +235,35 @@ class TestMatching:
             np.asarray(sep["matching_scores0"]),
             atol=1e-4,
         )
+
+
+class TestSubpixelPostprocess:
+    def test_refines_toward_true_peak(self):
+        """A peak whose mass leans off the integer maximum must move
+        toward the lean under subpixel=True (reference model_wrap
+        soft_argmax_points semantics)."""
+        from image_matching_tpu.models.superpoint import superpoint_postprocess
+
+        h = w = 32
+        heat = np.zeros((1, h, w), np.float32)
+        # an asymmetric blob around (y=16, x=20), leaning +x
+        heat[0, 16, 20] = 1.0
+        heat[0, 16, 21] = 0.6
+        heat[0, 16, 19] = 0.2
+        heat[0, 15, 20] = 0.3
+        heat[0, 17, 20] = 0.3
+        hm = jnp.asarray(heat)
+        out = {"semi": None, "desc_map": jnp.ones((1, 4, 4, 8))}
+        kp_int = superpoint_postprocess(
+            out, max_keypoints=4, threshold=0.1, heatmap=hm, border=2
+        )
+        kp_sub = superpoint_postprocess(
+            out, max_keypoints=4, threshold=0.1, heatmap=hm, border=2,
+            subpixel=True,
+        )
+        assert tuple(np.asarray(kp_int.xy[0, 0]).astype(int)) == (20, 16)
+        x_sub, y_sub = np.asarray(kp_sub.xy[0, 0])
+        assert 20.0 < x_sub < 21.0  # leaned toward the +x mass
+        assert abs(y_sub - 16.0) < 0.2
+        # masked slots untouched
+        assert kp_sub.xy.shape == (1, 4, 2)
