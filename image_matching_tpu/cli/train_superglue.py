@@ -53,6 +53,12 @@ def parse_args():
     p.add_argument("--warmup_steps", type=int, default=0,
                    help="linear lr warmup steps (0 = constant lr, the "
                         "reference's behavior)")
+    p.add_argument("--cosine_decay_steps", type=int, default=0,
+                   help="cosine-decay the lr to lr/10 over this many "
+                        "steps (0 = constant, the reference's behavior)")
+    p.add_argument("--init_weights", default=None,
+                   help="warm-start SuperGlue params from a .npz snapshot "
+                        "(step resets to 0; fine-tune entry point)")
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--steps_per_epoch", type=int, default=500)
     p.add_argument("--height", type=int, default=240)
@@ -115,6 +121,10 @@ def main():
     kp0, kp1, *_ = generate_pair(jax.random.PRNGKey(1), sp, sp_vars, images0, cfg)
     if args.warmup_steps > 0:
         lr = optax.linear_schedule(0.0, args.learning_rate, args.warmup_steps)
+    elif args.cosine_decay_steps > 0:
+        lr = optax.cosine_decay_schedule(
+            args.learning_rate, args.cosine_decay_steps, alpha=0.1
+        )
     else:
         lr = args.learning_rate
     tx = optax.adam(lr)
@@ -125,6 +135,17 @@ def main():
         (kp0, kp1, (args.height, args.width), (args.height, args.width)),
         tx=tx, init_kwargs={"train": True},
     )
+    if args.init_weights:
+        from image_matching_tpu.utils.weights import load_npz_into
+
+        loaded = load_npz_into(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.init_weights,
+        )
+        state = state.replace(
+            params=loaded["params"], batch_stats=loaded["batch_stats"]
+        )
+        log.info("warm-started SuperGlue from %s", args.init_weights)
     ckpt = CheckpointManager(f"{args.run_dir}/checkpoints")
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
