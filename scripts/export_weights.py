@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_template(kind, descriptor_dim, height, width):
+def build_template(kind, descriptor_dim, height, width, tx=None):
     from image_matching_tpu.train.state import create_train_state
 
     if kind == "sp":
@@ -26,7 +26,8 @@ def build_template(kind, descriptor_dim, height, width):
         model = SuperPointBN(descriptor_dim=descriptor_dim, dtype=jnp.bfloat16)
         example = jnp.zeros((1, height, width, 1))
         return create_train_state(
-            jax.random.PRNGKey(0), model, (example,), init_kwargs={"train": True}
+            jax.random.PRNGKey(0), model, (example,),
+            tx=tx, init_kwargs={"train": True},
         )
     from image_matching_tpu.models.superglue import SuperGlue
     from image_matching_tpu.structs import Keypoints
@@ -40,7 +41,7 @@ def build_template(kind, descriptor_dim, height, width):
                    desc=jnp.zeros((1, k, descriptor_dim)))
     return create_train_state(
         jax.random.PRNGKey(0), model, (kp, kp, (height, width), (height, width)),
-        init_kwargs={"train": True},
+        tx=tx, init_kwargs={"train": True},
     )
 
 
@@ -55,12 +56,31 @@ def main():
     p.add_argument("--step", type=int, default=None)
     args = p.parse_args()
 
+    import optax
+
     from image_matching_tpu.train.checkpoint import CheckpointManager
+    from image_matching_tpu.train.state import create_train_state
     from image_matching_tpu.utils.weights import save_npz
 
-    st = build_template(args.kind, args.descriptor_dim, args.height, args.width)
     mgr = CheckpointManager(args.checkpoint)
-    st = mgr.restore(st, step=args.step)
+    # the opt_state tree depends on how the run built its optimizer
+    # (constant lr vs schedule) — try the common shapes until one
+    # matches the on-disk structure; only params/batch_stats are kept
+    last_err = None
+    for tx in (
+        optax.adam(1e-4),
+        optax.adam(optax.cosine_decay_schedule(1e-4, 1)),
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4)),
+    ):
+        st = build_template(args.kind, args.descriptor_dim, args.height,
+                            args.width, tx=tx)
+        try:
+            st = mgr.restore(st, step=args.step)
+            break
+        except ValueError as e:
+            last_err = e
+    else:
+        raise last_err
     save_npz(args.out, {"params": st.params, "batch_stats": st.batch_stats})
     size = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size:.1f} MB) from step {int(st.step)}")

@@ -21,6 +21,7 @@ SG_DIR=${SG_DIR:-runs/sg_photo}
 LABELS=${LABELS:-runs/pseudo_photo}
 RETRAIN_ITER=${RETRAIN_ITER:-10000}
 SG_EPOCHS=${SG_EPOCHS:-20}
+SG_FT_EPOCHS=${SG_FT_EPOCHS:-20}
 
 if [ "${SKIP_PRETRAIN:-1}" != "1" ]; then
   python -m image_matching_tpu.cli.train_superpoint --synthetic \
@@ -54,6 +55,17 @@ python -m image_matching_tpu.cli.train_superglue \
   --batch_size 4 --resume 2>&1 | tee -a runs/logs/cycle_sg.log
 python scripts/export_weights.py --kind sg \
   --checkpoint "$SG_DIR/checkpoints" --out weights/sg_photo.npz
+
+# cosine-decay fine-tune: measured worth -0.06 px corner error and
+# +22 inliers/pair over the constant-lr endpoint (BASELINE.md config 4)
+python -m image_matching_tpu.cli.train_superglue \
+  --data_root "$PHOTO" --sp_checkpoint weights/sp_photo.npz \
+  --init_weights weights/sg_photo.npz --run_dir "${SG_DIR}_ft" \
+  --epochs "$SG_FT_EPOCHS" --steps_per_epoch 500 --batch_size 4 \
+  --cosine_decay_steps $((SG_FT_EPOCHS * 500)) \
+  2>&1 | tee -a runs/logs/cycle_sg_ft.log
+python scripts/export_weights.py --kind sg \
+  --checkpoint "${SG_DIR}_ft/checkpoints" --out weights/sg_photo.npz
 
 python -m image_matching_tpu.cli.evaluate --configs sp spsg \
   --sp_checkpoint weights/sp_photo.npz \
