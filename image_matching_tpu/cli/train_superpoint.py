@@ -57,6 +57,9 @@ def parse_args():
     p.add_argument("--host_data", action="store_true",
                    help="generate synthetic batches with the host cv2 "
                         "dataset instead of on device")
+    p.add_argument("--cosine_decay_steps", type=int, default=0,
+                   help="cosine-decay the lr to lr/10 over this many "
+                        "steps (0 = constant, the reference's behavior)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--init_weights", default=None,
                    help="warm-start params/batch_stats from a .npz weight "
@@ -95,7 +98,14 @@ def main():
     example = jnp.zeros((1, args.height, args.width, 1))
     state = create_train_state(
         jax.random.PRNGKey(args.seed), model, (example,),
-        tx=optax.adam(args.learning_rate), init_kwargs={"train": True},
+        tx=optax.adam(
+            optax.cosine_decay_schedule(
+                args.learning_rate, args.cosine_decay_steps, alpha=0.1
+            )
+            if args.cosine_decay_steps > 0
+            else args.learning_rate
+        ),
+        init_kwargs={"train": True},
     )
     if args.init_weights:
         from image_matching_tpu.utils.weights import load_npz_into
