@@ -63,7 +63,7 @@ def main() -> None:
     )
     dev = jax.devices()[0]
     print(f"bench: device {dev.device_kind} ({dev.platform})", file=sys.stderr)
-    variables = model.init(jax.random.PRNGKey(0), stack0[0][:1], stack1[0][:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), stack0[0][:1], stack1[0][:1])
 
     @partial(jax.jit, static_argnames=("n",))
     def run_n(variables, s0, s1, n):

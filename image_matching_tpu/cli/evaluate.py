@@ -36,16 +36,32 @@ def parse_args():
                    default=["sift", "orb", "sp", "spsg"],
                    choices=["sift", "orb", "sp", "spsg"])
     p.add_argument("--n_pairs", type=int, default=50)
-    p.add_argument("--height", type=int, default=240)
-    p.add_argument("--width", type=int, default=320)
+    # Reference eval regime (BASELINE.md "what we must match"):
+    # 480x640 frames, K=1200, detection threshold 0.005, RANSAC thresh 7
+    # (superpoint_flann_test.py:19-26, superpoint_glue_test.py:88).
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--max_keypoints", type=int, default=1200)
+    p.add_argument("--keypoint_threshold", type=float, default=0.005)
+    p.add_argument("--ransac_threshold", type=float, default=7.0)
     p.add_argument("--sp_checkpoint", default=None)
     p.add_argument("--sg_checkpoint", default=None)
     p.add_argument("--descriptor_dim", type=int, default=128)
     p.add_argument("--max_angle", type=float, default=0.25)
-    p.add_argument("--max_shift", type=float, default=24.0)
-    p.add_argument("--texture", default="blobs", choices=["blobs", "photo", "noise"],
+    p.add_argument("--max_shift", type=float, default=48.0)
+    p.add_argument("--texture", default="photo", choices=["blobs", "photo", "noise"],
                    help="eval image statistics: blob fields (round-1 regime) or "
                         "photographic-texture scenes (natural-image stand-in)")
+    # Hard regime (VERDICT round-2 item 1): non-affine GT + photometric
+    # domain gap between template and source, RANSAC still fitting a
+    # similarity like the reference fits a partial affine to perspective
+    # scenes (superpoint_glue_test.py:88).
+    p.add_argument("--gt", default="similarity",
+                   choices=["similarity", "perspective"])
+    p.add_argument("--max_perspective", type=float, default=48.0,
+                   help="corner jitter in px for --gt perspective")
+    p.add_argument("--photo_asym", action="store_true",
+                   help="apply photometric corruption to the source only")
     p.add_argument("--success_px", type=float, default=5.0)
     p.add_argument("--out", default="EVAL.json")
     p.add_argument("--seed", type=int, default=0)
@@ -56,8 +72,8 @@ def _sp_model_and_vars(args):
     cfg = MatchingConfig(
         backbone="bn",
         descriptor_dim=args.descriptor_dim,
-        max_keypoints=512,
-        keypoint_threshold=0.001,
+        max_keypoints=args.max_keypoints,
+        keypoint_threshold=args.keypoint_threshold,
         subpixel=True,
         keypoint_encoder=(32, 64, 128) if args.descriptor_dim == 128
         else (32, 64, 128, 256),
@@ -66,7 +82,10 @@ def _sp_model_and_vars(args):
     )
     model = Matching(cfg)
     example = jnp.zeros((1, args.height, args.width, 1))
-    variables = model.init(jax.random.PRNGKey(0), example, example)
+    # jit the init: eager flax init dispatches hundreds of op-by-op
+    # compiles (~0.4 s each through the device relay) — this was the
+    # 390 s SP+FLANN eval wall-clock of VERDICT round-2 weak #6
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example, example)
     if args.sp_checkpoint or args.sg_checkpoint:
         from image_matching_tpu.train.checkpoint import load_submodule_checkpoints
 
@@ -89,25 +108,30 @@ def main():
     pairs = make_eval_pairs(
         rng, args.n_pairs, args.height, args.width,
         max_angle=args.max_angle, max_shift=args.max_shift,
-        texture=args.texture,
+        texture=args.texture, gt_model=args.gt,
+        max_perspective=args.max_perspective, photo_asym=args.photo_asym,
     )
     log.info("%d synthetic pairs (%dx%d)", len(pairs), args.height, args.width)
 
     results = {}
     key = jax.random.PRNGKey(args.seed + 1)
 
+    learned = None  # (model, variables) shared by sp and spsg
     for name in args.configs:
         t0 = time.perf_counter()
         if name in ("sift", "orb"):
-            fn = jax.jit(build_classical_registration_fn(name))
+            fn = jax.jit(build_classical_registration_fn(
+                name, ransac_threshold=args.ransac_threshold))
             res = evaluate_pipeline(fn, pairs, key, args.success_px, batched=False)
         else:
-            model, variables = _sp_model_and_vars(args)
+            if learned is None:
+                learned = _sp_model_and_vars(args)
+            model, variables = learned
             fn = jax.jit(
                 build_registration_fn(
                     model,
                     matcher="ratio" if name == "sp" else "superglue",
-                    ransac_threshold=5.0,
+                    ransac_threshold=args.ransac_threshold,
                     min_match_count=8,
                     produce_warp=False,
                 )

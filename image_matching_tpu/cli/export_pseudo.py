@@ -75,7 +75,7 @@ def main():
         variables = state.variables
         log.info("loaded checkpoint step %d", int(state.step))
     else:
-        variables = model.init(jax.random.PRNGKey(0), example)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
         log.warning("no checkpoint given — exporting with random weights")
 
     cfg = ExportConfig(

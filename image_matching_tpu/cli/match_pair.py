@@ -96,7 +96,7 @@ def main():
     w = max(t["template"].shape[1], t["source"].shape[1])
     h, w = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
     example = jnp.zeros((1, h, w, 1))
-    variables = model.init(jax.random.PRNGKey(0), example, example)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example, example)
     variables = load_submodule_checkpoints(
         model, variables, cfg, example,
         sp_checkpoint=args.sp_checkpoint, sg_checkpoint=args.sg_checkpoint,

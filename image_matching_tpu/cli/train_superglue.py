@@ -86,7 +86,7 @@ def main():
 
     sp = SuperPointBN(descriptor_dim=args.descriptor_dim, dtype=jnp.bfloat16)
     example = jnp.zeros((1, args.height, args.width, 1))
-    sp_vars = sp.init(jax.random.PRNGKey(0), example)
+    sp_vars = jax.jit(sp.init)(jax.random.PRNGKey(0), example)
     if args.sp_checkpoint:
         from image_matching_tpu.train import create_train_state as _cts
 

@@ -48,7 +48,12 @@ def create_train_state(
     reference default for both trainers: Train_model_frontend.py:301-305,
     superpoint_glue_train.py:80)."""
     tx = tx if tx is not None else optax.adam(learning_rate)
-    variables = model.init(rng, *example_inputs, **(init_kwargs or {}))
+    # jitted init: eager flax init dispatches hundreds of op-by-op
+    # compiles, which costs minutes through a device relay
+    kwargs = init_kwargs or {}
+    variables = jax.jit(lambda r, *a: model.init(r, *a, **kwargs))(
+        rng, *example_inputs
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", None)
     return TrainState(

@@ -42,6 +42,54 @@ class TestMakePairs:
             assert np.abs(diff).mean() < 1e-5
 
 
+class TestHardRegimePairs:
+    def test_perspective_gt_consistency(self):
+        """source must equal template warped by the 3x3 gt homography."""
+        import cv2
+
+        rng = np.random.default_rng(2)
+        pairs = make_eval_pairs(
+            rng, 2, 120, 160, max_shift=8.0,
+            gt_model="perspective", max_perspective=12.0,
+        )
+        for p in pairs:
+            assert p.gt_matrix.shape == (3, 3)
+            re_warp = cv2.warpPerspective(
+                p.template[..., 0], p.gt_matrix.astype(np.float64), (160, 120)
+            )
+            interior = np.s_[20:-20, 20:-20]
+            diff = re_warp[interior] - p.source[..., 0][interior]
+            assert np.abs(diff).mean() < 1e-5
+
+    def test_perspective_is_nonaffine(self):
+        """corner jitter must produce a genuinely projective transform."""
+        rng = np.random.default_rng(3)
+        pairs = make_eval_pairs(
+            rng, 4, 240, 320, gt_model="perspective", max_perspective=24.0
+        )
+        bottom_rows = np.stack([p.gt_matrix[2, :2] for p in pairs])
+        assert np.abs(bottom_rows).max() > 1e-6
+
+    def test_photo_asym_changes_source_only(self):
+        rng_a = np.random.default_rng(4)
+        rng_b = np.random.default_rng(4)
+        plain = make_eval_pairs(rng_a, 1, 120, 160, texture="photo")
+        # same draws for geometry/texture, then extra photometric draws
+        asym = make_eval_pairs(rng_b, 1, 120, 160, texture="photo",
+                               photo_asym=True)
+        np.testing.assert_array_equal(plain[0].template, asym[0].template)
+        np.testing.assert_array_equal(plain[0].gt_matrix, asym[0].gt_matrix)
+        diff = np.abs(plain[0].source - asym[0].source).mean()
+        assert diff > 1e-3  # photometric gap is material
+        assert asym[0].source.min() >= 0.0 and asym[0].source.max() <= 1.0
+
+    def test_corner_error_with_3x3_gt(self):
+        h = np.float32([[1, 0, 2], [0, 1, 0], [0, 0, 1]])
+        np.testing.assert_allclose(corner_error(h, h, 50, 50), 0.0, atol=1e-6)
+        a = np.float32([[1, 0, 0], [0, 1, 0]])
+        np.testing.assert_allclose(corner_error(a, h, 50, 50), 2.0, rtol=1e-5)
+
+
 class TestEvaluatePipeline:
     def test_sift_on_easy_pairs(self):
         rng = np.random.default_rng(1)
