@@ -34,10 +34,13 @@ from image_matching_tpu.structs import Keypoints, MatchResult
 NEG_INF = -1e9
 
 # "auto" attention resolves to the Pallas flash kernel at/above this many
-# keypoints (on TPU): measured on v5e, the einsum path wins below it (XLA
-# fuses the whole layer) and flash wins above (O(N²) scores tile stops
-# fitting VMEM). See scripts/bench_attention.py for the measurement.
-FLASH_MIN_KEYPOINTS = 2048
+# keypoints (on TPU). Measured on v5e (scripts/bench_attention.py →
+# runs/attention_bench.json, carry-dependent scan timing): einsum fwd
+# 0.03/0.39/1.7/6.1 ms at N=1k/2k/4k/5k vs flash 0.26/0.98/3.9/6.1 — then
+# einsum falls off a cliff once the f32 logits stop tiling (84.6 ms at
+# 6144, 224 ms at 8192) while flash stays linear-ish (8.8/15.5 ms).
+# Crossover is the tie at N=5120; fwd+bwd shows the same shape.
+FLASH_MIN_KEYPOINTS = 5120
 
 
 def normalize_keypoints(

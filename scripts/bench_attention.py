@@ -61,11 +61,12 @@ def timed_scan(fn, args):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    float(run_n(args, 4))  # compile + warm (n=4 variant)
-    t0 = time.perf_counter()
-    float(run_n(args, 4))
-    rough = max((time.perf_counter() - t0) / 4, 1e-5)
-    delta = int(min(512, max(16, 0.08 / rough)))
+    # rough per-iter slope from two warm calls — a single call's wall
+    # time is dominated by ~0.1 s relay dispatch latency, so it cannot
+    # size the delta (that made the first fix still return noise)
+    float(run_n(args, 4)), float(run_n(args, 20))  # compile both
+    rough = max((best_of(20, 2) - best_of(4, 2)) / 16, 2e-5)
+    delta = int(min(1024, max(16, 0.5 / rough)))
     n_small, n_large = 4, 4 + delta
     float(run_n(args, n_large))  # compile the large variant
     return (best_of(n_large) - best_of(n_small)) / delta
@@ -74,7 +75,8 @@ def timed_scan(fn, args):
 def main():
     rng = np.random.default_rng(0)
     results = {}
-    for n in (1024, 2048, 4096, 8192):
+    ns = tuple(int(a) for a in sys.argv[1:]) or (1024, 2048, 4096, 6144, 8192)
+    for n in ns:
         q = jnp.asarray(rng.normal(size=(B, n, D)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=(B, n, D)), jnp.bfloat16)
         v = jnp.asarray(rng.normal(size=(B, n, D)), jnp.bfloat16)
@@ -100,12 +102,21 @@ def main():
         }
         print(n, json.dumps(results[n]), flush=True)
 
-    with open("runs/attention_bench.json", "w") as f:
+    # merge with prior sweeps so partial runs (explicit argv Ns) extend
+    # rather than replace the banked artifact
+    path = "runs/attention_bench.json"
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f).get("results", {})
+    merged.update({str(k): v for k, v in results.items()})
+    merged = dict(sorted(merged.items(), key=lambda kv: int(kv[0])))
+    with open(path, "w") as f:
         json.dump(
             {
                 "device": str(jax.devices()[0].device_kind),
                 "shape": {"batch_x_heads": B, "head_dim": D},
-                "results": results,
+                "results": merged,
             },
             f, indent=2,
         )
