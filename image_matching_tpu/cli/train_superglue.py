@@ -59,6 +59,16 @@ def parse_args():
     p.add_argument("--init_weights", default=None,
                    help="warm-start SuperGlue params from a .npz snapshot "
                         "(step resets to 0; fine-tune entry point)")
+    p.add_argument("--gt_dist_thresh", type=float, default=3.0,
+                   help="GT correspondence distance in px (GlueSparse.py:70 "
+                        "uses 3; tighter teaches more precise match sets)")
+    p.add_argument("--photometric", action="store_true",
+                   help="independent photometric corruption of each view "
+                        "before detection (the hard-regime domain gap)")
+    p.add_argument("--perspective_amplitude", type=float, default=0.1,
+                   help="homography sampler perspective amplitude "
+                        "(reference default 0.1; raise for harder pairs)")
+    p.add_argument("--scaling_amplitude", type=float, default=0.1)
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--steps_per_epoch", type=int, default=500)
     p.add_argument("--height", type=int, default=240)
@@ -115,7 +125,20 @@ def main():
         sinkhorn_iterations=args.sinkhorn_iterations,
         dtype=jnp.bfloat16,
     )
-    cfg = SuperGluePairConfig(max_keypoints=args.max_keypoints)
+    from image_matching_tpu.data.photometric import PhotometricConfig
+    from image_matching_tpu.geometry.homography import HomographyConfig
+
+    cfg = SuperGluePairConfig(
+        max_keypoints=args.max_keypoints,
+        gt_dist_thresh=args.gt_dist_thresh,
+        homography=HomographyConfig(
+            patch_ratio=0.85, allow_artifacts=True,
+            perspective_amplitude_x=args.perspective_amplitude,
+            perspective_amplitude_y=args.perspective_amplitude,
+            scaling_amplitude=args.scaling_amplitude,
+        ),
+        photometric=PhotometricConfig(enable=args.photometric),
+    )
 
     images0 = jnp.zeros((1, args.height, args.width, 1))
     kp0, kp1, *_ = generate_pair(jax.random.PRNGKey(1), sp, sp_vars, images0, cfg)

@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from image_matching_tpu.data.photometric import PhotometricConfig, photometric_augment
 from image_matching_tpu.geometry.homography import (
     HomographyConfig,
     invert_homography,
@@ -39,6 +40,15 @@ class SuperGluePairConfig(NamedTuple):
     homography: HomographyConfig = HomographyConfig(
         patch_ratio=0.85, allow_artifacts=True
     )
+    # photometric asymmetry between the two views: each view gets an
+    # independent photometric corruption (brightness/contrast/noise/
+    # shade, data/photometric.py) before detection, so SuperGlue learns
+    # to match across the template-vs-source domain gap the reference's
+    # real photographs have (utils/photometric.py:10-115 models it for
+    # SuperPoint training; the reference's GlueSparse pair generator
+    # omits it — one reason its self-trained SuperGlue underperformed,
+    # README.md:150).
+    photometric: PhotometricConfig = PhotometricConfig(enable=False)
 
 
 def generate_pair(
@@ -50,8 +60,14 @@ def generate_pair(
 ):
     """images (B, H, W, 1) → (kpts0, kpts1, gt0, gt1, warped_images)."""
     b, h, w, _ = images.shape
+    key, k_aug0, k_aug1 = jax.random.split(key, 3)
     hs = sample_homography_batch(key, b, h, w, cfg.homography)
     warped = warp_image(images, invert_homography(hs))
+    if cfg.photometric.enable:
+        # corrupt each view independently AFTER warping so detection and
+        # description both see the photometric gap; GT stays geometric
+        images = photometric_augment(k_aug0, images, cfg.photometric)
+        warped = photometric_augment(k_aug1, warped, cfg.photometric)
 
     def detect(img):
         out = sp_model.apply(sp_variables, img)

@@ -141,3 +141,31 @@ class TestSuperGlueTrainer:
         assert gt0.shape == (1, 64)
         # indices within [0, K1] (K1 = dustbin)
         assert int(gt0.max()) <= 64 and int(gt0.min()) >= 0
+
+    def test_photometric_pair_generation(self):
+        """Photometric asymmetry corrupts the views but GT stays geometric
+        and the step still trains (hard-regime SG training, VERDICT r2 #1)."""
+        from image_matching_tpu.data.photometric import PhotometricConfig
+        from image_matching_tpu.train.superglue_trainer import generate_pair
+
+        d = 32
+        sp = SuperPointBN(descriptor_dim=d)
+        img = jnp.zeros((1, 64, 64, 1))
+        sp_vars = sp.init(jax.random.PRNGKey(0), img)
+        rng = np.random.default_rng(4)
+        images = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32))
+
+        cfg_plain = SuperGluePairConfig(max_keypoints=64, keypoint_threshold=0.0)
+        cfg_photo = cfg_plain._replace(photometric=PhotometricConfig(enable=True))
+        _, _, _, _, warped_plain = generate_pair(
+            jax.random.PRNGKey(1), sp, sp_vars, images, cfg_plain
+        )
+        kp0, kp1, gt0, gt1, warped_photo = generate_pair(
+            jax.random.PRNGKey(1), sp, sp_vars, images, cfg_photo
+        )
+        # same key => same homography; only the photometric layer differs
+        assert float(jnp.abs(warped_photo - warped_plain).mean()) > 1e-3
+        assert gt0.shape == (1, 64)
+        assert int(gt0.max()) <= 64 and int(gt0.min()) >= 0
+        # some real (non-dustbin) correspondences survive the corruption
+        assert int(jnp.sum(gt0 < 64)) > 0
