@@ -44,6 +44,11 @@ def parse_args():
     p.add_argument("--max_keypoints", type=int, default=1200)
     p.add_argument("--keypoint_threshold", type=float, default=0.005)
     p.add_argument("--ransac_threshold", type=float, default=7.0)
+    p.add_argument("--ransac_model", default="similarity",
+                   choices=["similarity", "homography"],
+                   help="similarity = the reference's partial-affine fit "
+                        "(superpoint_glue_test.py:88); homography makes "
+                        "perspective GT exactly fittable")
     p.add_argument("--sp_checkpoint", default=None)
     p.add_argument("--sg_checkpoint", default=None)
     p.add_argument("--descriptor_dim", type=int, default=128)
@@ -121,7 +126,8 @@ def main():
         t0 = time.perf_counter()
         if name in ("sift", "orb"):
             fn = jax.jit(build_classical_registration_fn(
-                name, ransac_threshold=args.ransac_threshold))
+                name, ransac_model=args.ransac_model,
+                ransac_threshold=args.ransac_threshold))
             res = evaluate_pipeline(fn, pairs, key, args.success_px, batched=False)
         else:
             if learned is None:
@@ -131,6 +137,7 @@ def main():
                 build_registration_fn(
                     model,
                     matcher="ratio" if name == "sp" else "superglue",
+                    ransac_model=args.ransac_model,
                     ransac_threshold=args.ransac_threshold,
                     min_match_count=8,
                     produce_warp=False,

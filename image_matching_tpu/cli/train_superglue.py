@@ -59,6 +59,9 @@ def parse_args():
     p.add_argument("--init_weights", default=None,
                    help="warm-start SuperGlue params from a .npz snapshot "
                         "(step resets to 0; fine-tune entry point)")
+    p.add_argument("--subpixel", action="store_true",
+                   help="subpixel-refine keypoints in pair generation "
+                        "(matches cli/evaluate's inference postprocess)")
     p.add_argument("--gt_dist_thresh", type=float, default=3.0,
                    help="GT correspondence distance in px (GlueSparse.py:70 "
                         "uses 3; tighter teaches more precise match sets)")
@@ -130,6 +133,7 @@ def main():
 
     cfg = SuperGluePairConfig(
         max_keypoints=args.max_keypoints,
+        subpixel=args.subpixel,
         gt_dist_thresh=args.gt_dist_thresh,
         homography=HomographyConfig(
             patch_ratio=0.85, allow_artifacts=True,

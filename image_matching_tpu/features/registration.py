@@ -26,6 +26,7 @@ MIN_MATCH_COUNT = 10  # Traditional/registration.py:4
 def build_classical_registration_fn(
     method: str = "sift",
     ratio: float = 0.7,
+    ransac_model: str = "similarity",  # "similarity" | "homography"
     ransac_threshold: float = 7.0,
     num_hypotheses: int = 512,
     sift_config: SIFTConfig = SIFTConfig(),
@@ -50,7 +51,13 @@ def build_classical_registration_fn(
             raise ValueError(f"unknown method: {method}")
 
         p0, p1, valid = gather_matched_points(kp0.xy, kp1.xy, matches)
-        fit = ransac_similarity(
+        from image_matching_tpu.ops.ransac import ransac_homography
+
+        ransac = (
+            ransac_similarity if ransac_model == "similarity"
+            else ransac_homography
+        )
+        fit = ransac(
             key, p0, p1, valid,
             threshold=ransac_threshold,
             num_hypotheses=num_hypotheses,

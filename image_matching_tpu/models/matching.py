@@ -52,6 +52,7 @@ class MatchingConfig:
     sinkhorn_iterations: int = struct.field(pytree_node=False, default=100)
     match_threshold: float = struct.field(pytree_node=False, default=0.2)
     attention_impl: str = struct.field(pytree_node=False, default="auto")
+    sinkhorn_impl: str = struct.field(pytree_node=False, default="auto")
     # compute dtype for conv/attention matmuls ("float32" | "bfloat16")
     compute_dtype: str = struct.field(pytree_node=False, default="bfloat16")
 
@@ -89,6 +90,7 @@ class Matching(nn.Module):
             sinkhorn_iterations=cfg.sinkhorn_iterations,
             match_threshold=cfg.match_threshold,
             attention_impl=cfg.attention_impl,
+            sinkhorn_impl=cfg.sinkhorn_impl,
             dtype=cfg.dtype,
         )
 

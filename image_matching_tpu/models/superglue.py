@@ -240,9 +240,15 @@ class SuperGlue(nn.Module):
         )
         sk_impl = self.sinkhorn_impl
         if sk_impl == "auto":
+            # the fused kernel keeps the whole (M+1, N+1) f32 coupling
+            # VMEM-resident (ops/pallas/sinkhorn.py) — only profitable
+            # and only *possible* while it fits; long-context keypoint
+            # counts fall back to the scan
+            m_pad, n_pad = scores.shape[-2] + 1, scores.shape[-1] + 1
+            fits_vmem = m_pad * n_pad * 4 <= 8 * 1024 * 1024
             sk_impl = (
                 "pallas"
-                if not train and jax.default_backend() == "tpu"
+                if not train and jax.default_backend() == "tpu" and fits_vmem
                 else "scan"
             )
         z = log_optimal_transport(

@@ -36,6 +36,9 @@ class SuperGluePairConfig(NamedTuple):
     max_keypoints: int = 512
     keypoint_threshold: float = 0.005
     nms_radius: int = 4
+    subpixel: bool = False  # match eval-time postprocess (cli/evaluate
+    # runs subpixel=True; training on integer-grid positions while
+    # evaluating on refined ones is a train/eval geometry mismatch)
     gt_dist_thresh: float = 3.0  # GlueSparse.py:70
     homography: HomographyConfig = HomographyConfig(
         patch_ratio=0.85, allow_artifacts=True
@@ -76,6 +79,7 @@ def generate_pair(
             max_keypoints=cfg.max_keypoints,
             threshold=cfg.keypoint_threshold,
             nms_radius=cfg.nms_radius,
+            subpixel=cfg.subpixel,
         )
 
     kp0 = jax.lax.stop_gradient(detect(images))
