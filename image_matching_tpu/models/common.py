@@ -60,6 +60,10 @@ class S2DConvBNReLU(nn.Module):
     features: int
     mode: str  # "entry" | "raw"
     dtype: jnp.dtype = jnp.float32
+    # junk columns appended to the raw conv's U output so the Pallas
+    # realign pool's DMA can tile it (ops/pallas/realign.py); the true
+    # width travels as the pool's out_w
+    extra_cols: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -73,7 +77,7 @@ class S2DConvBNReLU(nn.Module):
         if self.mode == "entry":
             y = entry_conv(xd, kd)
         else:
-            y = conv3x3_s2d_raw(xd, kd)
+            y = conv3x3_s2d_raw(xd, kd, extra_cols=self.extra_cols)
         y = y + jnp.tile(bias, 4).astype(self.dtype)
         bn = nn.BatchNorm(
             use_running_average=True, dtype=self.dtype, momentum=0.9,
@@ -89,12 +93,14 @@ class S2DDoubleConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    extra_cols: int = 0  # see S2DConvBNReLU
 
     @nn.compact
     def __call__(self, x):
         x = S2DConvBNReLU(self.features, "entry", dtype=self.dtype,
                           name="ConvBNReLU_0")(x)
         return S2DConvBNReLU(self.features, "raw", dtype=self.dtype,
+                             extra_cols=self.extra_cols,
                              name="ConvBNReLU_1")(x)
 
 

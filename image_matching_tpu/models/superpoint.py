@@ -81,6 +81,12 @@ class SuperPointBN(nn.Module):
             and image.shape[1] % 16 == 0 and image.shape[2] % 16 == 0
         )
         if use_fast:
+            # pool_from_raw stays on the XLA formulation: the Pallas
+            # realign kernel HW-verifies exact but measures slower than
+            # XLA's in-model fusion (decision + numbers banked in
+            # ops/pallas/realign.py). If it is ever flipped back, feed
+            # it 8-aligned stored widths via S2DDoubleConv(extra_cols=
+            # (-(W//2+1)) % 8) and pass the true width as out_w.
             u = S2DDoubleConv(c1, dtype=self.dtype, name="inc")(x)
             u = S2DDoubleConv(c2, dtype=self.dtype, name="down1")(
                 pool_from_raw(u)

@@ -4,16 +4,31 @@ The s2d backbone's within-level conv emits the *unaligned* tensor U
 (B, H+1, W+1, 4C) whose parity group (py, px) holds its value for
 output index (i, j) at U[i+py, j+px] (ops/s2d_conv.py). The level-end
 maxpool must realign the four groups and reduce — pure data movement +
-max, ~200 MB at the first level, which XLA lowers at ~1.2 ms where HBM
-bandwidth supports ~0.25 ms (scripts/probe_s2d.py measurements on v5e).
+max, ~200 MB at the first level, which XLA lowers at ~0.91 ms where HBM
+bandwidth supports ~0.4 ms (scripts/probe_s2d.py / ROADMAP ledger).
 
-This kernel streams U through VMEM once: each grid step DMAs a
-(BH+1, W+1, 4C) row-block, takes the four statically-shifted slices in
-VMEM, and writes the (BH, W, C) max. One read of U, one write of the
-C-channel result — the realignment costs nothing extra.
+Kernel shape (v2, lowers on v5e hardware — see history below): each
+grid step DMAs one whole (bh+1)-row slab of U into VMEM and
 
-Used via `maxpool_realign` which falls back to the XLA formulation when
-shapes don't divide (or off-TPU)."""
+  a  = S[0:bh,   0:w,   0:2C]   (g00 | g01-unshifted)
+  b  = S[0:bh,   1:w+1, 0:2C]   (g01 aligned into lanes [C:2C])
+  c_ = S[1:bh+1, 0:w,   2C:4C]  (g10 | g11-unshifted)
+  d  = S[1:bh+1, 1:w+1, 2C:4C]  (g11 aligned into lanes [C:2C])
+  lo = max(a, c_)   # lanes [0:C] = max(g00, g10), rest junk
+  hi = max(b, d)    # lanes [C:2C] = max(g01, g11), rest junk
+  out = max(lo, lane_roll(hi, C))  # lanes [0:C] = the pooled result
+
+The row (+1) shift is an outer-dim VMEM slice; the column (+1) shift is
+a *sublane* slice at offset 1; the cross-pair combine is an f32 lane
+roll. All three were verified to lower and produce exact values on v5e
+(scripts/probe_mosaic_roll.py) — the round-2 blocker list
+(shifted-slice 8-alignment, "DMA source sublane offsets must be
+8-divisible") turned out to apply to bf16 *rotates* and the then-used
+4-DMA formulation, not to f32 rolls or to in-VMEM shifted slices. One
+HBM read of U (+1 row of overlap per block), one (B, H, W, 2C) write;
+the wrapper's final [..., :C] slice runs in XLA where sub-128-lane
+output layouts are legal.
+"""
 from __future__ import annotations
 
 import functools
@@ -24,146 +39,145 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(u_hbm, out_lo, out_hi, s_a, s_b, s_c, s_d, sems, *, bh: int,
-            w: int, c: int):
-    """Spatial (py, px) shifts happen on the DMA side; the channel split
-    works on 2C-lane group *pairs* (Mosaic rejects any DMA or slice
-    whose lane extent is under/unaligned to 128, so C=64 single-group
-    slabs are illegal; bf16 lane rotates are also unimplemented).
-    Layout of U's channels is [g00 g01 g10 g11]·C:
-
-      s_a = rows+0, cols+0, ch[0:2c]     g00 in lanes [0:c]
-      s_b = rows+0, cols+1, ch[0:2c]     g01 (shifted) in lanes [c:2c]
-      s_c = rows+1, cols+0, ch[2c:4c]    g10 in lanes [0:c]
-      s_d = rows+1, cols+1, ch[2c:4c]    g11 (shifted) in lanes [c:2c]
-
-    out_lo holds max(g00, g10) in lanes [0:c]; out_hi holds
-    max(g01, g11) in lanes [c:2c]; the wrapper takes
-    max(out_lo[..:c], out_hi[..c:]) in XLA where sub-128-lane slices
-    are legal (a ~10 MB elementwise pass, ≪ the DMA win)."""
+def _kernel(u_hbm, out_ref, s_u, sems, *, bh: int, w: int, c: int, nb: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    r0 = i * bh
-    cps = [
-        pltpu.make_async_copy(
-            u_hbm.at[b, pl.ds(r0 + py, bh), pl.ds(px, w),
-                     pl.ds(py * 2 * c, 2 * c)],
-            dst, sems.at[py * 2 + px],
+
+    def cp(blk, slot):
+        return pltpu.make_async_copy(
+            u_hbm.at[b, pl.ds(blk * bh, bh + 1)], s_u.at[slot], sems.at[slot]
         )
-        for (py, px), dst in zip(
-            [(0, 0), (0, 1), (1, 0), (1, 1)], [s_a, s_b, s_c, s_d]
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-    out_lo[0] = jnp.maximum(s_a[...], s_c[...])
-    out_hi[0] = jnp.maximum(s_b[...], s_d[...])
+
+    # double-buffered DMA: prefetch block i+1 while computing block i
+    @pl.when(i == 0)
+    def _():
+        cp(i, i % 2).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        cp(i + 1, (i + 1) % 2).start()
+
+    cp(i, i % 2).wait()
+    s = s_u.at[i % 2]
+    a = s[0:bh, 0:w, 0:2 * c]
+    b_ = s[0:bh, 1:w + 1, 0:2 * c]
+    c_ = s[1:bh + 1, 0:w, 2 * c:4 * c]
+    d = s[1:bh + 1, 1:w + 1, 2 * c:4 * c]
+    lo = jnp.maximum(a, c_).astype(jnp.float32)
+    hi = jnp.maximum(b_, d).astype(jnp.float32)
+    # bring hi's aligned lanes [C:2C] onto [0:C] (f32 roll — bf16 lane
+    # rotates are unimplemented in Mosaic) and reduce
+    out = jnp.maximum(lo, pltpu.roll(hi, c, axis=2))
+    out_ref[0] = out[:, :, 0:c].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_w", "block_rows", "interpret")
+)
 def maxpool_realign_pallas(
-    u: jax.Array, block_rows: int = 8, interpret: bool = False
+    u: jax.Array,
+    out_w: int | None = None,
+    block_rows: int = 8,
+    interpret: bool = False,
 ) -> jax.Array:
-    """U (B, H+1, W+1, 4C) → direct (B, H, W, C); H % block_rows == 0."""
+    """U (B, H+1, ≥W+1, 4C) → direct (B, H, W, C); H % block_rows == 0.
+
+    On hardware the DMA requires u.shape[2] % 8 == 0 — produce U with
+    conv3x3_s2d_raw(..., extra_cols) and pass the true width as out_w."""
     b, h1, w1, c4 = u.shape
-    h, w, c = h1 - 1, w1 - 1, c4 // 4
+    h, c = h1 - 1, c4 // 4
+    w = out_w if out_w is not None else w1 - 1
     if h % block_rows != 0:
         raise ValueError(f"H={h} not divisible by block_rows={block_rows}")
-    kernel = functools.partial(_kernel, bh=block_rows, w=w, c=c)
-    out = pl.pallas_call(
+    nb = h // block_rows
+    kernel = functools.partial(_kernel, bh=block_rows, w=w, c=c, nb=nb)
+    return pl.pallas_call(
         kernel,
-        grid=(b, h // block_rows),
+        grid=(b, nb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, block_rows, w, 2 * c),
-                         lambda bi, i: (bi, i, 0, 0)),
-            pl.BlockSpec((1, block_rows, w, 2 * c),
-                         lambda bi, i: (bi, i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, w, 2 * c), u.dtype),
-            jax.ShapeDtypeStruct((b, h, w, 2 * c), u.dtype),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, block_rows, w, c), lambda bi, i: (bi, i, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), u.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_rows, w, 2 * c), u.dtype),
-            pltpu.VMEM((block_rows, w, 2 * c), u.dtype),
-            pltpu.VMEM((block_rows, w, 2 * c), u.dtype),
-            pltpu.VMEM((block_rows, w, 2 * c), u.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, block_rows + 1, w1, c4), u.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(u)
-    lo, hi = out
-    return jnp.maximum(lo[..., :c], hi[..., c:])
 
 
-def _dispatch(u: jax.Array, interpret: bool) -> jax.Array:
+def _dispatch(u: jax.Array, out_w, interpret: bool) -> jax.Array:
     h = u.shape[1] - 1
-    for bh in (8, 4, 2):
-        if h % bh == 0:
-            return maxpool_realign_pallas(u, block_rows=bh, interpret=interpret)
+    # hardware DMA needs the stored width 8-aligned (Mosaic sublane
+    # tiling); interpret mode has no such constraint
+    w_ok = interpret or u.shape[2] % 8 == 0
+    if w_ok:
+        for bh in (8, 4, 2):
+            if h % bh == 0:
+                return maxpool_realign_pallas(
+                    u, out_w=out_w, block_rows=bh, interpret=interpret
+                )
     from image_matching_tpu.ops.s2d_conv import maxpool2x2_s2d_from_raw
 
-    return maxpool2x2_s2d_from_raw(u)
+    return maxpool2x2_s2d_from_raw(u, out_w)
 
 
-@jax.custom_vjp
-def _maxpool_realign_grad(u: jax.Array) -> jax.Array:
-    return _dispatch(u, interpret=False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _maxpool_realign_grad(u: jax.Array, out_w) -> jax.Array:
+    return _dispatch(u, out_w, interpret=False)
 
 
-def _maxpool_realign_fwd(u):
-    return _maxpool_realign_grad(u), u
+def _maxpool_realign_fwd(u, out_w):
+    return _maxpool_realign_grad(u, out_w), u
 
 
-def _maxpool_realign_bwd(u, g):
+def _maxpool_realign_bwd(out_w, u, g):
     from image_matching_tpu.ops.s2d_conv import maxpool2x2_s2d_from_raw
 
-    _, vjp = jax.vjp(maxpool2x2_s2d_from_raw, u)
+    _, vjp = jax.vjp(lambda x: maxpool2x2_s2d_from_raw(x, out_w), u)
     return vjp(g)
 
 
 _maxpool_realign_grad.defvjp(_maxpool_realign_fwd, _maxpool_realign_bwd)
 
 
-def maxpool_realign(u: jax.Array, interpret: bool = False) -> jax.Array:
+def maxpool_realign(
+    u: jax.Array, out_w: int | None = None, interpret: bool = False
+) -> jax.Array:
     """Fused realign+maxpool with automatic fallback to the XLA slice
-    formulation when the row count doesn't block evenly.
+    formulation when the shape doesn't block (row count, or a stored
+    width the DMA can't tile).
 
     Differentiable: the backward pass routes through the XLA
     formulation's VJP (recompute — the kernel itself is forward-only),
     so this is safe to call from a training graph."""
     if interpret:
-        return _dispatch(u, interpret=True)
-    return _maxpool_realign_grad(u)
+        return _dispatch(u, out_w, interpret=True)
+    return _maxpool_realign_grad(u, out_w)
 
 
-def pool_from_raw(u: jax.Array) -> jax.Array:
-    """Realigning pool — currently the XLA slice formulation everywhere.
+def pool_from_raw(u: jax.Array, out_w: int | None = None) -> jax.Array:
+    """Realigning pool — the model call sites' entry point
+    (models/superpoint.py). Stays on the XLA slice formulation: DECISION
+    BANKED (round 3, v5e, scripts/probe_realign_hw.py). The Pallas
+    kernel above now compiles AND runs exact on hardware — every
+    round-2 Mosaic blocker fell once the formulation used one
+    whole-slab DMA, in-VMEM offset-1 sublane slices, and an f32 lane
+    roll (probe_mosaic_roll.py: those all lower; only bf16 rotates
+    don't). But it measures SLOWER than XLA at the bench shapes:
 
-    The Pallas kernel (above, interpret-tested, exact) does NOT yet
-    compile on real TPU hardware. Empirically mapped Mosaic constraints
-    (v5e, 2026-08-18), each hit in turn while reformulating:
-      1. in-VMEM shifted slices: slice shapes/offsets in the sublane
-         dim must be multiples of 8 (odd W+1 row blocks fail);
-      2. DMA lane slabs must be ≥128 lanes and 128-aligned (a C=64
-         parity-group slab is illegal even HBM→VMEM);
-      3. bf16 lane rotate is unimplemented ("Rotate with non-32-bit
-         data"), so group pairs can't be realigned in-register;
-      4. DMA *source offsets* in the sublane dim must be provably
-         8-divisible — the ±1-pixel parity shift itself is the blocker.
-    The current kernel form (2C-lane pair slabs, shifts on the DMA,
-    two partial outputs max-combined in XLA) clears 1-3 and stops at 4;
-    fixing it needs either a Mosaic-side relaxation or an algebra change
-    that keeps U's parity groups 8-aligned. XLA's fused 4-slice max
-    costs 0.91 ms at the bench shape (profiler) — reformulations tried
-    in scripts-era probes (row-first, group-dim reshape) measured
-    SLOWER, so XLA remains the hardware path.
-    maxpool_realign(interpret=True) keeps the kernel exercised in
-    tests. This is the model call sites' entry point — see
-    models/superpoint.py."""
+        U(8,240,320,64): kernel 2.01 ms (double-buffered, narrow out)
+                         vs 1.91 ms standalone XLA, 0.91 ms in-model
+        U(8,120,160,64): 0.23 vs 0.20 ms
+        U(8, 60, 80,128): 0.074 vs 0.077 ms
+
+    Variants measured: single-buffer 2.28, +narrow output 2.21,
+    +double-buffer 2.01, no-roll bf16 two-output 2.51. The kernel is
+    VPU-bound on the unaligned-slice shifts, and in-model XLA fuses the
+    realign into neighbouring ops for free — a standalone kernel cannot
+    beat a fused 0.91 ms. Kept (tested, HW-verified) as the starting
+    point if a future Mosaic improves unaligned-slice lowering."""
     from image_matching_tpu.ops.s2d_conv import maxpool2x2_s2d_from_raw
 
-    return maxpool2x2_s2d_from_raw(u)
+    return maxpool2x2_s2d_from_raw(u, out_w)

@@ -162,13 +162,21 @@ def conv3x3_s2d_entry(x: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
-def conv3x3_s2d_raw(x_s2d: jax.Array, w: jax.Array) -> jax.Array:
+def conv3x3_s2d_raw(
+    x_s2d: jax.Array, w: jax.Array, extra_cols: int = 0
+) -> jax.Array:
     """SAME 3x3 conv in s2d space, returning the UNALIGNED conv output U
-    (B, H/2+1, W/2+1, 4co) — the single MXU-saturating 2x2 conv without
-    the realignment copy. Consumers realign implicitly (see
-    maxpool2x2_s2d_from_raw / realign)."""
+    (B, H/2+1, W/2+1+extra_cols, 4co) — the single MXU-saturating 2x2
+    conv without the realignment copy. Consumers realign implicitly (see
+    maxpool2x2_s2d_from_raw / realign).
+
+    `extra_cols` widens the output with junk columns computed over extra
+    right padding, so the column count can be rounded to the 8-sublane
+    tiling the Pallas realign kernel's DMA requires
+    (ops/pallas/realign.py) — consumers must then be told the true
+    width (their `out_w` argument) instead of deriving it from shape."""
     return jax.lax.conv_general_dilated(
-        x_s2d, s2d_kernel_all(w), (1, 1), ((1, 1), (1, 1)),
+        x_s2d, s2d_kernel_all(w), (1, 1), ((1, 1), (1, 1 + extra_cols)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x_s2d.dtype,
     )
@@ -187,12 +195,14 @@ def realign(u: jax.Array) -> jax.Array:
     )
 
 
-def maxpool2x2_s2d_from_raw(u: jax.Array) -> jax.Array:
+def maxpool2x2_s2d_from_raw(u: jax.Array, out_w: int | None = None) -> jax.Array:
     """2x2/stride-2 maxpool fused with the realignment: U in, direct
     (B, H/2, W/2, C) out. Reads the four shifted parity slices and
     reduces — writes C channels instead of materialising the 4C aligned
-    tensor first."""
-    hh, wh = u.shape[1] - 1, u.shape[2] - 1
+    tensor first. `out_w` overrides the width for padded U (see
+    conv3x3_s2d_raw's extra_cols)."""
+    hh = u.shape[1] - 1
+    wh = out_w if out_w is not None else u.shape[2] - 1
     c = u.shape[3] // 4
     gs = [
         u[:, py:py + hh, px:px + wh, (py * 2 + px) * c:(py * 2 + px + 1) * c]

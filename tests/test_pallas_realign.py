@@ -68,8 +68,37 @@ def test_custom_vjp_matches_xla_grad():
         np.random.default_rng(6).normal(size=(1, 16, 24, 4)).astype(np.float32)
     )
     ref_out, ref_vjp = jax.vjp(maxpool2x2_s2d_from_raw, u)
-    (got,) = _maxpool_realign_bwd(u, g)
+    (got,) = _maxpool_realign_bwd(None, u, g)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref_vjp(g)[0]))
+
+
+def test_padded_width_out_w():
+    """extra_cols-padded U + explicit out_w equals the unpadded result —
+    the hardware path's shape contract (DMA needs stored width % 8 == 0,
+    conv3x3_s2d_raw(extra_cols) provides it)."""
+    u = _rand_u(1, 16, 24, 8, seed=9)  # stored width 25
+    pad = (-(24 + 1)) % 8  # -> 32 stored cols
+    up = jnp.pad(u, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=-7.0)
+    ref = maxpool2x2_s2d_from_raw(u)
+    got = maxpool_realign_pallas(up, out_w=24, block_rows=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # the XLA formulation honors out_w on padded U too
+    np.testing.assert_array_equal(
+        np.asarray(maxpool2x2_s2d_from_raw(up, out_w=24)), np.asarray(ref)
+    )
+
+
+def test_conv_extra_cols_prefix_equal():
+    """conv3x3_s2d_raw(extra_cols) == the plain raw conv on the true cols."""
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(size=(1, 12, 20, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32))
+    plain = conv3x3_s2d_raw(x, w)
+    padded = conv3x3_s2d_raw(x, w, extra_cols=7)
+    assert padded.shape[2] == plain.shape[2] + 7
+    np.testing.assert_array_equal(
+        np.asarray(padded[:, :, : plain.shape[2]]), np.asarray(plain)
+    )
 
 
 def test_pool_from_raw_cpu_path():
