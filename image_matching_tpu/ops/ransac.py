@@ -142,7 +142,7 @@ def _consensus(res_sq, valid, thresh):
     return inl, score
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "min_matches"))
+@partial(jax.jit, static_argnames=("num_hypotheses", "min_matches", "polish_iters"))
 def ransac_similarity(
     key: jax.Array,
     p0: jax.Array,
@@ -151,6 +151,7 @@ def ransac_similarity(
     threshold: float = 7.0,
     num_hypotheses: int = 512,
     min_matches: int = 4,
+    polish_iters: int = 2,
 ) -> RobustFit:
     """Robust partial-affine (similarity) estimation.
 
@@ -160,6 +161,11 @@ def ransac_similarity(
       valid: (N,) bool mask of real correspondences.
       threshold: inlier reprojection threshold in px (reference uses 7).
       num_hypotheses: fixed hypothesis budget (vmapped, not looped).
+      polish_iters: IRLS local-optimisation rounds after the inlier
+        refit (LO-RANSAC-style): reweight by a Cauchy kernel at scale
+        threshold/2 so borderline inliers stop dominating the LSQ.
+        OpenCV's estimateAffinePartial2D refines similarly
+        (refineIters); inlier SEMANTICS stay at the full threshold.
 
     Returns a `RobustFit` with a (2, 3) matrix. Batch with jax.vmap.
     """
@@ -182,6 +188,14 @@ def ransac_similarity(
 
     best_inl = inl[best]
     refined = fit_similarity_lsq(p0, p1, best_inl.astype(jnp.float32))
+    t2 = threshold * threshold
+    sigma2 = t2 * 0.25
+    for _ in range(polish_iters):
+        res_r = _residuals_affine(refined[None], p0, p1)[0]
+        w = jnp.where(
+            (res_r < t2) & valid, 1.0 / (1.0 + res_r / sigma2), 0.0
+        )
+        refined = fit_similarity_lsq(p0, p1, w)
     res_r = _residuals_affine(refined[None], p0, p1)[0]
     final_inl = (res_r < threshold * threshold) & valid
     n_inl = jnp.sum(final_inl)
@@ -199,7 +213,7 @@ def _residuals_homography(h, p0, p1):
     return jnp.sum((pred - p1[None]) ** 2, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "min_matches"))
+@partial(jax.jit, static_argnames=("num_hypotheses", "min_matches", "polish_iters"))
 def ransac_homography(
     key: jax.Array,
     p0: jax.Array,
@@ -208,8 +222,10 @@ def ransac_homography(
     threshold: float = 7.0,
     num_hypotheses: int = 512,
     min_matches: int = 6,
+    polish_iters: int = 2,
 ) -> RobustFit:
-    """Robust homography estimation (4-point DLT hypotheses + DLT polish)."""
+    """Robust homography estimation (4-point DLT hypotheses + DLT polish
+    + IRLS local optimisation — see ransac_similarity.polish_iters)."""
     idx = _sample_indices(key, valid, num_hypotheses, 4)  # (M, 4)
     s0 = p0[idx]
     s1 = p1[idx]
@@ -232,6 +248,14 @@ def ransac_homography(
 
     best_inl = inl[best]
     refined = fit_homography_lsq(p0, p1, best_inl.astype(jnp.float32))
+    t2 = threshold * threshold
+    sigma2 = t2 * 0.25
+    for _ in range(polish_iters):
+        res_r = _residuals_homography(refined[None], p0, p1)[0]
+        w = jnp.where(
+            (res_r < t2) & valid, 1.0 / (1.0 + res_r / sigma2), 0.0
+        )
+        refined = fit_homography_lsq(p0, p1, w)
     res_r = _residuals_homography(refined[None], p0, p1)[0]
     final_inl = (res_r < threshold * threshold) & valid
     n_inl = jnp.sum(final_inl)

@@ -129,3 +129,83 @@ class TestRansacHomography:
             )
         )
         np.testing.assert_allclose(est / est[2, 2], h, rtol=1e-2, atol=1e-2)
+
+
+class TestIRLSPolish:
+    """LO-RANSAC-style IRLS polish (polish_iters) must tighten the fit
+    when inlier noise is heteroscedastic (the SuperGlue regime: many
+    matches, a tail of borderline 2-5 px ones)."""
+
+    def _mixed_noise_matches(self, rng, mat, n_precise=60, n_sloppy=40,
+                             n_outliers=30):
+        p0 = rng.uniform(0, 200, (n_precise + n_sloppy + n_outliers, 2))
+        p1 = p0 @ mat[:, :2].T + mat[:, 2]
+        p1[:n_precise] += rng.normal(0, 0.3, (n_precise, 2))
+        p1[n_precise:n_precise + n_sloppy] += rng.normal(0, 3.0, (n_sloppy, 2))
+        p1[n_precise + n_sloppy:] = rng.uniform(0, 200, (n_outliers, 2))
+        return p0.astype(np.float32), p1.astype(np.float32)
+
+    def test_polish_reduces_corner_error(self):
+        mat = make_similarity(0.2, 1.05, 12.0, -7.0)
+        corners = np.array([[0, 0], [200, 0], [0, 200], [200, 200]], np.float64)
+        errs = {0: [], 2: []}
+        rng = np.random.default_rng(11)
+        for trial in range(8):
+            p0, p1 = self._mixed_noise_matches(rng, mat)
+            for iters in (0, 2):
+                fit = ransac_similarity(
+                    jax.random.PRNGKey(trial), jnp.asarray(p0),
+                    jnp.asarray(p1), jnp.ones(130, bool),
+                    threshold=7.0, polish_iters=iters,
+                )
+                est = np.asarray(fit.matrix, np.float64)
+                e = np.linalg.norm(
+                    corners @ est[:, :2].T + est[:, 2]
+                    - (corners @ mat[:, :2].T + mat[:, 2]), axis=-1,
+                ).mean()
+                errs[iters].append(e)
+        assert np.mean(errs[2]) < np.mean(errs[0])
+
+    def test_polish_noop_on_clean_data(self):
+        mat = make_similarity(-0.1, 0.95, 3.0, 8.0)
+        rng = np.random.default_rng(12)
+        p0, p1 = synth_matches(rng, mat, 80, 30, noise=0.0)
+        fit0 = ransac_similarity(
+            jax.random.PRNGKey(0), jnp.asarray(p0), jnp.asarray(p1),
+            jnp.ones(110, bool), threshold=7.0, polish_iters=0,
+        )
+        fit2 = ransac_similarity(
+            jax.random.PRNGKey(0), jnp.asarray(p0), jnp.asarray(p1),
+            jnp.ones(110, bool), threshold=7.0, polish_iters=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fit2.matrix), np.asarray(fit0.matrix), atol=1e-4
+        )
+
+    def test_homography_polish_reduces_error(self):
+        h = np.array(
+            [[1.05, 0.08, -6.0], [-0.02, 0.98, 11.0], [8e-5, -4e-5, 1.0]]
+        )
+        rng = np.random.default_rng(13)
+        corners = np.array([[0, 0], [200, 0], [0, 200], [200, 200]], np.float64)
+        errs = {0: [], 2: []}
+        for trial in range(6):
+            p0 = rng.uniform(0, 200, (130, 2))
+            p1 = cv2.perspectiveTransform(p0[None], h)[0]
+            p1[:60] += rng.normal(0, 0.3, (60, 2))
+            p1[60:100] += rng.normal(0, 3.0, (40, 2))
+            p1[100:] = rng.uniform(0, 200, (30, 2))
+            for iters in (0, 2):
+                fit = ransac_homography(
+                    jax.random.PRNGKey(trial),
+                    jnp.asarray(p0.astype(np.float32)),
+                    jnp.asarray(p1.astype(np.float32)),
+                    jnp.ones(130, bool), threshold=7.0, polish_iters=iters,
+                )
+                est = np.asarray(fit.matrix, np.float64)
+                e = np.abs(
+                    cv2.perspectiveTransform(corners[None], est)[0]
+                    - cv2.perspectiveTransform(corners[None], h)[0]
+                ).max()
+                errs[iters].append(e)
+        assert np.mean(errs[2]) < np.mean(errs[0])
