@@ -142,19 +142,45 @@ class AttentionalPropagation(nn.Module):
 
 
 class AttentionalGNN(nn.Module):
-    """Alternating self/cross attention stack (superglue_test.py:120-136)."""
+    """Alternating self/cross attention stack (superglue_test.py:120-136).
+
+    Each layer applies the same weights to both directions
+    (superglue_test.py:134). `stack_sides` runs both directions as ONE
+    2B-batched call per layer: the sides are concatenated along batch
+    once at entry, cross-attention sources come from a batch roll
+    (`jnp.roll(desc, B)` swaps the halves), and the split happens once
+    at exit. A round-1 experiment that concatenated/sliced EVERY layer
+    measured slower; the entry/exit-only layout keeps the copies to one
+    roll per cross layer. Numerics are per-sample identical (tested).
+    Off during training so BN batch statistics keep the two-call
+    semantics the trainers were built on.
+    """
 
     dim: int
     layer_names: Tuple[str, ...]
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    stack_sides: bool = True
 
     @nn.compact
     def __call__(self, desc0, desc1, mask0, mask1, train: bool = False):
-        # Note: each layer applies the same weights to both directions
-        # (superglue_test.py:134). Folding both sides into one doubled
-        # batch was measured SLOWER on v5e (the per-layer concat/slice
-        # copies outweigh the launch savings), so keep two calls.
+        if self.stack_sides and not train:
+            b = desc0.shape[0]
+            desc = jnp.concatenate([desc0, desc1], axis=0)  # (2B, N, D)
+            mask = jnp.concatenate([mask0, mask1], axis=0)
+            for i, name in enumerate(self.layer_names):
+                layer = AttentionalPropagation(
+                    self.dim, dtype=self.dtype,
+                    attention_impl=self.attention_impl,
+                    name=f"layer_{i}_{name}"
+                )
+                if name == "cross":
+                    src = jnp.roll(desc, b, axis=0)  # swap halves
+                    sm = jnp.roll(mask, b, axis=0)
+                else:
+                    src, sm = desc, mask
+                desc = desc + layer(desc, src, mask, sm, train)
+            return desc[:b], desc[b:]
         for i, name in enumerate(self.layer_names):
             layer = AttentionalPropagation(
                 self.dim, dtype=self.dtype,

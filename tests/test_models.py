@@ -267,3 +267,25 @@ class TestSubpixelPostprocess:
         assert abs(y_sub - 16.0) < 0.2
         # masked slots untouched
         assert kp_sub.xy.shape == (1, 4, 2)
+
+
+class TestStackedSidesGNN:
+    def test_stacked_equals_two_call(self):
+        """The 2B-stacked GNN layout must be per-sample identical to the
+        two-call path (same params; eval mode)."""
+        from image_matching_tpu.models.superglue import AttentionalGNN
+
+        d, k, b = 64, 32, 2
+        rng = np.random.default_rng(0)
+        names = tuple("self" if i % 2 == 0 else "cross" for i in range(4))
+        two = AttentionalGNN(d, names, stack_sides=False)
+        stk = AttentionalGNN(d, names, stack_sides=True)
+        desc0 = jnp.asarray(rng.normal(size=(b, k, d)).astype(np.float32))
+        desc1 = jnp.asarray(rng.normal(size=(b, k, d)).astype(np.float32))
+        mask0 = jnp.asarray(rng.uniform(size=(b, k)) < 0.8)
+        mask1 = jnp.asarray(rng.uniform(size=(b, k)) < 0.8)
+        variables = two.init(jax.random.PRNGKey(1), desc0, desc1, mask0, mask1)
+        a0, a1 = two.apply(variables, desc0, desc1, mask0, mask1)
+        s0, s1 = stk.apply(variables, desc0, desc1, mask0, mask1)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(a0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(a1), atol=1e-5)
