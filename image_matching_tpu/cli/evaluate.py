@@ -67,6 +67,13 @@ def parse_args():
                    help="corner jitter in px for --gt perspective")
     p.add_argument("--photo_asym", action="store_true",
                    help="apply photometric corruption to the source only")
+    p.add_argument("--match_threshold", type=float, default=0.1,
+                   help="SuperGlue match confidence cutoff (reference "
+                        "default_config uses 0.2; the self-trained "
+                        "pipeline banked its numbers at 0.1)")
+    p.add_argument("--conf_gamma", type=float, default=1.0,
+                   help="sharpen SuperGlue confidences fed to RANSAC "
+                        "(registration.build_registration_fn)")
     p.add_argument("--success_px", type=float, default=5.0)
     p.add_argument("--out", default="EVAL.json")
     p.add_argument("--seed", type=int, default=0)
@@ -83,7 +90,7 @@ def _sp_model_and_vars(args):
         keypoint_encoder=(32, 64, 128) if args.descriptor_dim == 128
         else (32, 64, 128, 256),
         sinkhorn_iterations=30,
-        match_threshold=0.1,
+        match_threshold=args.match_threshold,
     )
     model = Matching(cfg)
     example = jnp.zeros((1, args.height, args.width, 1))
@@ -141,6 +148,7 @@ def main():
                     ransac_threshold=args.ransac_threshold,
                     min_match_count=8,
                     produce_warp=False,
+                    confidence_gamma=args.conf_gamma,
                 )
             )
             res = evaluate_pipeline(

@@ -53,6 +53,8 @@ class MatchingConfig:
     match_threshold: float = struct.field(pytree_node=False, default=0.2)
     attention_impl: str = struct.field(pytree_node=False, default="auto")
     sinkhorn_impl: str = struct.field(pytree_node=False, default="auto")
+    # 2B-batched GNN sides (see SuperGlue.stack_sides — loses at B=4/K=1k)
+    stack_sides: bool = struct.field(pytree_node=False, default=False)
     # compute dtype for conv/attention matmuls ("float32" | "bfloat16")
     compute_dtype: str = struct.field(pytree_node=False, default="bfloat16")
 
@@ -91,6 +93,7 @@ class Matching(nn.Module):
             match_threshold=cfg.match_threshold,
             attention_impl=cfg.attention_impl,
             sinkhorn_impl=cfg.sinkhorn_impl,
+            stack_sides=cfg.stack_sides,
             dtype=cfg.dtype,
         )
 

@@ -35,7 +35,7 @@ NEG_INF = -1e9
 
 # "auto" attention resolves to the Pallas flash kernel at/above this many
 # keypoints (on TPU). Measured on v5e (scripts/bench_attention.py →
-# runs/attention_bench.json, carry-dependent scan timing): einsum fwd
+# artifacts/attention_bench.json, carry-dependent scan timing): einsum fwd
 # 0.03/0.39/1.7/6.1 ms at N=1k/2k/4k/5k vs flash 0.26/0.98/3.9/6.1 — then
 # einsum falls off a cliff once the f32 logits stop tiling (84.6 ms at
 # 6144, 224 ms at 8192) while flash stays linear-ish (8.8/15.5 ms).
@@ -160,7 +160,7 @@ class AttentionalGNN(nn.Module):
     layer_names: Tuple[str, ...]
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
-    stack_sides: bool = True
+    stack_sides: bool = False
 
     @nn.compact
     def __call__(self, desc0, desc1, mask0, mask1, train: bool = False):
@@ -218,6 +218,13 @@ class SuperGlue(nn.Module):
     # "auto": fused Pallas iteration loop (ops/pallas/sinkhorn.py) at
     # inference on TPU, differentiable scan when training / elsewhere
     sinkhorn_impl: str = "auto"  # "auto" | "scan" | "pallas"
+    # run both GNN directions as one 2B-batched call per layer (see
+    # AttentionalGNN). Measured on v5e at B=4/K=1024 this LOSES: the
+    # einsum attention's f32 logits traffic scales super-linearly past
+    # batch 4 (the same cliff that makes batch-8 DP 1.5x slower per
+    # pair) — 234 vs 336 pairs/s end-to-end. Kept as an option for
+    # small-batch/large-K regimes where halving dispatches wins.
+    stack_sides: bool = False
 
     def _layer_names(self):
         return tuple(
@@ -251,7 +258,8 @@ class SuperGlue(nn.Module):
 
         desc0, desc1 = AttentionalGNN(
             d, self._layer_names(), dtype=self.dtype,
-            attention_impl=self.attention_impl, name="gnn"
+            attention_impl=self.attention_impl,
+            stack_sides=self.stack_sides, name="gnn"
         )(desc0, desc1, mask0, mask1, train)
 
         final = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32, name="final_proj")

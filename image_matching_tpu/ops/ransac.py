@@ -25,9 +25,18 @@ from image_matching_tpu.geometry.homography import homography_from_4pts, warp_po
 from image_matching_tpu.structs import RobustFit
 
 
-def _sample_indices(key, valid, num_hyp, sample_size):
-    """(M, k) indices drawn from valid slots (with replacement)."""
-    logits = jnp.where(valid, 0.0, -jnp.inf)
+def _sample_indices(key, valid, num_hyp, sample_size, weights=None):
+    """(M, k) indices drawn from valid slots (with replacement).
+
+    With `weights` (match confidences), minimal samples are drawn
+    proportionally to confidence (PROSAC-flavoured): hypotheses come
+    from the matches most likely to be correct, so the consensus search
+    wastes fewer of its fixed budget on outlier-contaminated samples.
+    """
+    if weights is None:
+        logits = jnp.where(valid, 0.0, -jnp.inf)
+    else:
+        logits = jnp.where(valid, jnp.log(jnp.maximum(weights, 1e-6)), -jnp.inf)
     flat = jax.random.categorical(key, logits[None], shape=(num_hyp * sample_size,))
     return flat.reshape(num_hyp, sample_size)
 
@@ -152,6 +161,7 @@ def ransac_similarity(
     num_hypotheses: int = 512,
     min_matches: int = 4,
     polish_iters: int = 2,
+    weights: jax.Array | None = None,
 ) -> RobustFit:
     """Robust partial-affine (similarity) estimation.
 
@@ -166,10 +176,15 @@ def ransac_similarity(
         threshold/2 so borderline inliers stop dominating the LSQ.
         OpenCV's estimateAffinePartial2D refines similarly
         (refineIters); inlier SEMANTICS stay at the full threshold.
+      weights: optional (N,) match confidences in (0, 1] — biases
+        hypothesis sampling toward confident matches and scales the
+        refit/IRLS weights, so low-confidence (but within-threshold)
+        matches stop dragging the final LSQ. Inlier counting stays
+        unweighted at the full threshold.
 
     Returns a `RobustFit` with a (2, 3) matrix. Batch with jax.vmap.
     """
-    idx = _sample_indices(key, valid, num_hypotheses, 2)  # (M, 2)
+    idx = _sample_indices(key, valid, num_hypotheses, 2, weights)  # (M, 2)
     s0 = p0[idx]  # (M, 2, 2)
     s1 = p1[idx]
     mats = similarity_from_2pts(s0, s1)  # (M, 2, 3)
@@ -187,13 +202,14 @@ def ransac_similarity(
     best = jnp.argmax(order)
 
     best_inl = inl[best]
-    refined = fit_similarity_lsq(p0, p1, best_inl.astype(jnp.float32))
+    conf = jnp.ones_like(p0[:, 0]) if weights is None else weights
+    refined = fit_similarity_lsq(p0, p1, best_inl.astype(jnp.float32) * conf)
     t2 = threshold * threshold
     sigma2 = t2 * 0.25
     for _ in range(polish_iters):
         res_r = _residuals_affine(refined[None], p0, p1)[0]
         w = jnp.where(
-            (res_r < t2) & valid, 1.0 / (1.0 + res_r / sigma2), 0.0
+            (res_r < t2) & valid, conf / (1.0 + res_r / sigma2), 0.0
         )
         refined = fit_similarity_lsq(p0, p1, w)
     res_r = _residuals_affine(refined[None], p0, p1)[0]
@@ -223,10 +239,12 @@ def ransac_homography(
     num_hypotheses: int = 512,
     min_matches: int = 6,
     polish_iters: int = 2,
+    weights: jax.Array | None = None,
 ) -> RobustFit:
     """Robust homography estimation (4-point DLT hypotheses + DLT polish
-    + IRLS local optimisation — see ransac_similarity.polish_iters)."""
-    idx = _sample_indices(key, valid, num_hypotheses, 4)  # (M, 4)
+    + IRLS local optimisation — see ransac_similarity: polish_iters and
+    the optional confidence `weights`)."""
+    idx = _sample_indices(key, valid, num_hypotheses, 4, weights)  # (M, 4)
     s0 = p0[idx]
     s1 = p1[idx]
     hs = homography_from_4pts(s0, s1)  # (M, 3, 3)
@@ -247,13 +265,14 @@ def ransac_homography(
     best = jnp.argmax(order)
 
     best_inl = inl[best]
-    refined = fit_homography_lsq(p0, p1, best_inl.astype(jnp.float32))
+    conf = jnp.ones_like(p0[:, 0]) if weights is None else weights
+    refined = fit_homography_lsq(p0, p1, best_inl.astype(jnp.float32) * conf)
     t2 = threshold * threshold
     sigma2 = t2 * 0.25
     for _ in range(polish_iters):
         res_r = _residuals_homography(refined[None], p0, p1)[0]
         w = jnp.where(
-            (res_r < t2) & valid, 1.0 / (1.0 + res_r / sigma2), 0.0
+            (res_r < t2) & valid, conf / (1.0 + res_r / sigma2), 0.0
         )
         refined = fit_homography_lsq(p0, p1, w)
     res_r = _residuals_homography(refined[None], p0, p1)[0]

@@ -62,19 +62,30 @@ def rescale_transform(mat: jax.Array, scale: float) -> jax.Array:
 
 def _fit_and_warp(kpts0, kpts1, matches, image0, key, *,
                   ransac_model, ransac_threshold, num_hypotheses,
-                  min_match_count, produce_warp):
+                  min_match_count, produce_warp, match_weights=None):
     p0, p1, valid = jax.vmap(gather_matched_points)(kpts0.xy, kpts1.xy, matches)
 
     ransac = ransac_similarity if ransac_model == "similarity" else ransac_homography
     keys = jax.random.split(key, p0.shape[0])
-    fit = jax.vmap(
-        lambda k, a, b, v: ransac(
-            k, a, b, v,
-            threshold=ransac_threshold,
-            num_hypotheses=num_hypotheses,
-            min_matches=min_match_count,
-        )
-    )(keys, p0, p1, valid)
+    if match_weights is None:
+        fit = jax.vmap(
+            lambda k, a, b, v: ransac(
+                k, a, b, v,
+                threshold=ransac_threshold,
+                num_hypotheses=num_hypotheses,
+                min_matches=min_match_count,
+            )
+        )(keys, p0, p1, valid)
+    else:
+        fit = jax.vmap(
+            lambda k, a, b, v, w: ransac(
+                k, a, b, v,
+                threshold=ransac_threshold,
+                num_hypotheses=num_hypotheses,
+                min_matches=min_match_count,
+                weights=w,
+            )
+        )(keys, p0, p1, valid, match_weights)
 
     warped = None
     if produce_warp:
@@ -94,10 +105,21 @@ def build_registration_fn(
     num_hypotheses: int = 512,
     min_match_count: int = 10,  # MIN_MATCH_COUNT, registration.py:4
     produce_warp: bool = True,
+    confidence_weighting: bool = True,
+    confidence_gamma: float = 1.0,
 ):
     """Returns a jittable `register(variables, image0, image1, key)`.
 
-    Images: (B, H, W, 1) float32 in [0, 1]."""
+    Images: (B, H, W, 1) float32 in [0, 1].
+
+    `confidence_weighting` (superglue matcher only): feed SuperGlue's
+    calibrated per-match confidences into RANSAC — confidence-biased
+    hypothesis sampling and confidence-scaled refit/IRLS weights
+    (ops/ransac.py). SuperGlue produces more matches than ratio-NN but
+    with a wider localisation-quality spread; unweighted LSQ lets the
+    low-confidence tail drag the transform. The ratio matcher's raw
+    cosine scores are not calibrated, so it always fits unweighted
+    (like the reference's cv2 RANSAC, superpoint_flann_test.py:84)."""
 
     def register(variables, image0, image1, key) -> RegistrationResult:
         kpts0 = model.apply(variables, image0, method=model.detect)
@@ -119,6 +141,13 @@ def build_registration_fn(
         else:
             raise ValueError(f"unknown matcher: {matcher}")
 
+        match_weights = None
+        if confidence_weighting and matcher == "superglue":
+            # gamma > 1 sharpens: concentrates hypothesis sampling and
+            # LSQ weight on the most confident matches
+            match_weights = jnp.where(
+                matches.matches0 >= 0, matches.scores0, 0.0
+            ).astype(jnp.float32) ** confidence_gamma
         fit, warped = _fit_and_warp(
             kpts0, kpts1, matches, image0, key,
             ransac_model=ransac_model,
@@ -126,6 +155,7 @@ def build_registration_fn(
             num_hypotheses=num_hypotheses,
             min_match_count=min_match_count,
             produce_warp=produce_warp,
+            match_weights=match_weights,
         )
         return RegistrationResult(
             kpts0=kpts0, kpts1=kpts1, matches=matches, fit=fit, warped=warped

@@ -104,7 +104,7 @@ def main():
 
     # merge with prior sweeps so partial runs (explicit argv Ns) extend
     # rather than replace the banked artifact
-    path = "runs/attention_bench.json"
+    path = "artifacts/attention_bench.json"
     merged = {}
     if os.path.exists(path):
         with open(path) as f:
@@ -120,7 +120,7 @@ def main():
             },
             f, indent=2,
         )
-    print("wrote runs/attention_bench.json")
+    print("wrote artifacts/attention_bench.json")
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@ attention and coupling live on one GPU (superglue_test.py:85-89); here
 
   * --backend tpu: the full detect+match pipeline on one chip — the
     "auto" attention resolves to the Pallas flash kernel at this size
-    (FLASH_MIN_KEYPOINTS=5120, runs/attention_bench.json: einsum is 224
+    (FLASH_MIN_KEYPOINTS=5120, artifacts/attention_bench.json: einsum is 224
     ms/attention at 8k, flash 15.5 ms) and Sinkhorn falls back to the
     differentiable scan (coupling no longer fits VMEM);
   * --backend cpu_mesh: SuperGlue context-parallel over an 8-device
@@ -15,7 +15,7 @@ attention and coupling live on one GPU (superglue_test.py:85-89); here
 
 Both report match count, precision vs the synthetic GT warp, and the
 corner error of a homography RANSAC fit, merged into
-runs/longcontext_demo.json so the backends can be compared.
+artifacts/longcontext_demo.json so the backends can be compared.
 
   python scripts/longcontext_demo.py --backend tpu
   python scripts/longcontext_demo.py --backend cpu_mesh
@@ -38,7 +38,7 @@ def parse_args():
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--sp_checkpoint", default="weights/sp_photo.npz")
     p.add_argument("--sg_checkpoint", default="weights/sg_photo.npz")
-    p.add_argument("--out", default="runs/longcontext_demo.json")
+    p.add_argument("--out", default="artifacts/longcontext_demo.json")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 

@@ -209,3 +209,74 @@ class TestIRLSPolish:
                 ).max()
                 errs[iters].append(e)
         assert np.mean(errs[2]) < np.mean(errs[0])
+
+
+class TestConfidenceWeighting:
+    """Optional per-match confidence weights (SuperGlue scores -> RANSAC)."""
+
+    def _corner_err(self, est, mat):
+        corners = np.array(
+            [[0, 0], [200, 0], [0, 200], [200, 200]], dtype=np.float64
+        )
+        pred = corners @ np.asarray(est)[:, :2].T + np.asarray(est)[:, 2]
+        gt = corners @ mat[:, :2].T + mat[:, 2]
+        return float(np.mean(np.linalg.norm(pred - gt, axis=-1)))
+
+    def test_weights_downweight_sloppy_inliers(self):
+        # 40 precise matches (high confidence) + 80 matches with ~4 px
+        # noise (low confidence): all are within the 7 px threshold, so
+        # unweighted LSQ is dominated by the sloppy majority. Confidence
+        # weighting must recover a tighter transform.
+        rng = np.random.default_rng(7)
+        mat = make_similarity(0.25, 1.05, 14.0, -9.0)
+        p0 = rng.uniform(0, 200, (120, 2))
+        p1 = p0 @ mat[:, :2].T + mat[:, 2]
+        p1[:40] += rng.normal(0, 0.1, (40, 2))
+        p1[40:] += rng.normal(0, 4.0, (80, 2))
+        conf = np.full(120, 0.05, np.float32)
+        conf[:40] = 0.95
+        valid = jnp.ones(120, bool)
+        args = (jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32), valid)
+        fit_u = ransac_similarity(jax.random.PRNGKey(0), *args, threshold=7.0)
+        fit_w = ransac_similarity(
+            jax.random.PRNGKey(0), *args, threshold=7.0,
+            weights=jnp.asarray(conf),
+        )
+        assert bool(fit_w.valid)
+        err_u = self._corner_err(fit_u.matrix, mat)
+        err_w = self._corner_err(fit_w.matrix, mat)
+        assert err_w < err_u
+        assert err_w < 0.5
+
+    def test_uniform_weights_match_unweighted(self):
+        rng = np.random.default_rng(8)
+        mat = make_similarity(-0.3, 0.95, 5.0, 22.0)
+        p0, p1 = synth_matches(rng, mat, 80, 40)
+        valid = jnp.ones(120, bool)
+        args = (jnp.asarray(p0), jnp.asarray(p1), valid)
+        fit_u = ransac_similarity(jax.random.PRNGKey(3), *args, threshold=7.0)
+        fit_w = ransac_similarity(
+            jax.random.PRNGKey(3), *args, threshold=7.0,
+            weights=jnp.full(120, 0.6),
+        )
+        # constant confidence = same sampling distribution + scale-invariant
+        # LSQ weights -> same fit (up to the 1e-6 ridge term's scale)
+        np.testing.assert_allclose(
+            np.asarray(fit_u.matrix), np.asarray(fit_w.matrix), atol=1e-3
+        )
+
+    def test_homography_weights(self):
+        rng = np.random.default_rng(9)
+        h = np.array(
+            [[1.05, 0.04, -12.0], [-0.03, 0.97, 8.0], [1e-4, -8e-5, 1.0]]
+        )
+        p0, p1 = synth_matches(rng, h, 60, 30, noise=0.2, homography=True)
+        conf = np.full(90, 0.9, np.float32)
+        conf[60:] = 0.05
+        fit = ransac_homography(
+            jax.random.PRNGKey(1),
+            jnp.asarray(p0), jnp.asarray(p1), jnp.ones(90, bool),
+            threshold=7.0, weights=jnp.asarray(conf),
+        )
+        assert bool(fit.valid)
+        assert int(fit.num_inliers) >= 55
