@@ -67,8 +67,21 @@ python -m image_matching_tpu.cli.train_superglue \
 python scripts/export_weights.py --kind sg \
   --checkpoint "${SG_DIR}_ft/checkpoints" --out weights/sg_photo.npz
 
+# hardening fine-tune: photometric asymmetry + subpixel keypoints +
+# perspective warps (round-3: ref regime 0.59 -> 0.56 px, asym parity,
+# hard-regime success 0.98 -> 1.00; see ROADMAP round-3 item 8)
+python -m image_matching_tpu.cli.train_superglue \
+  --data_root "$PHOTO" --sp_checkpoint weights/sp_photo.npz \
+  --init_weights weights/sg_photo.npz --run_dir "${SG_DIR}_persp" \
+  --photometric --subpixel --perspective_amplitude 0.15 \
+  --epochs "$SG_FT_EPOCHS" --steps_per_epoch 500 --batch_size 4 \
+  --cosine_decay_steps $((SG_FT_EPOCHS * 500)) \
+  2>&1 | tee -a runs/logs/cycle_sg_persp.log
+python scripts/export_weights.py --kind sg \
+  --checkpoint "${SG_DIR}_persp/checkpoints" --out weights/sg_persp.npz
+
 python -m image_matching_tpu.cli.evaluate --configs sp spsg \
   --sp_checkpoint weights/sp_photo.npz \
-  --sg_checkpoint weights/sg_photo.npz \
+  --sg_checkpoint weights/sg_persp.npz \
   --texture photo --out EVAL_learned.json \
   2>&1 | tee -a runs/logs/cycle_eval.log
