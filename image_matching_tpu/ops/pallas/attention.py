@@ -208,12 +208,38 @@ def _flash_bwd_dq_kernel(
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6)
 )
+def _flash_attention_blocked(q, k, v, key_mask, scale, block_q, block_k):
+    return _flash_forward(q, k, v, key_mask, scale, block_q, block_k)
+
+
+def _auto_blocks(nq: int, nk: int) -> tuple:
+    """Block sizes when the caller doesn't pick: as large as VMEM allows.
+
+    The v5e measurement that set these: at N=1024 the original 128x128
+    blocks put a 3-level loop (8 q-blocks x 8 kv-blocks per batch cell)
+    around tiny (128, 64)x(64, 128) matmuls and ran 2.3x SLOWER than
+    the einsum path; one kv block (block_k = N) removes the online-
+    softmax rescale loop entirely and turns each grid cell into two
+    well-shaped matmuls over a VMEM-resident (block_q, nk) tile.
+    block_q x block_k f32 scores + q/k/v/o tiles stay well under the
+    ~16 MB VMEM budget (512x1024x4 B = 2 MB)."""
+    r128 = lambda n: -(-n // 128) * 128
+    return min(512, r128(nq)), min(1024, r128(nk))
+
+
 def flash_attention(
-    q, k, v, key_mask, scale=None, block_q: int = 128, block_k: int = 128
+    q, k, v, key_mask, scale=None,
+    block_q: int | None = None, block_k: int | None = None,
 ):
     """Masked flash attention. q (B, Nq, D), k/v (B, Nk, D),
-    key_mask (B, Nk) bool. Nq/Nk padded to block multiples internally."""
-    return _flash_forward(q, k, v, key_mask, scale, block_q, block_k)
+    key_mask (B, Nk) bool. Nq/Nk padded to block multiples internally;
+    block sizes default to the VMEM-filling heuristic (_auto_blocks)."""
+    bq, bk = _auto_blocks(q.shape[1], k.shape[1])
+    return _flash_attention_blocked(
+        q, k, v, key_mask, scale,
+        block_q if block_q is not None else bq,
+        block_k if block_k is not None else bk,
+    )
 
 
 def _flash_forward(q, k, v, key_mask, scale, block_q, block_k):
@@ -422,4 +448,4 @@ def _flash_bwd_rule(scale, block_q, block_k, residuals, g):
     return dq, dk, dv, None
 
 
-flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+_flash_attention_blocked.defvjp(_flash_fwd_rule, _flash_bwd_rule)
