@@ -37,16 +37,17 @@ class ConvParams(nn.Module):
         return kernel, bias
 
 
-def fold_parity(x):
-    """View an s2d/U tensor (..., W', 4C) as (..., W'*4, C) so per-channel
-    ops (BatchNorm) see shape-(C,) features."""
-    *lead, wh, c4 = x.shape
-    return x.reshape(*lead, wh * 4, c4 // 4)
+def fold_parity(x, groups: int = 4):
+    """View an s2d/U tensor (..., W', G*C) as (..., W'*G, C) so
+    per-channel ops (BatchNorm) see shape-(C,) features. G = 4 for the
+    (2, 2) layout, 2 for the H-only (2, 1) layout."""
+    *lead, wh, cg = x.shape
+    return x.reshape(*lead, wh * groups, cg // groups)
 
 
-def unfold_parity(x, c4):
-    *lead, w4, c = x.shape
-    return x.reshape(*lead, w4 // 4, c4)
+def unfold_parity(x, cg, groups: int = 4):
+    *lead, wg, c = x.shape
+    return x.reshape(*lead, wg // groups, cg)
 
 
 class S2DConvBNReLU(nn.Module):
@@ -102,6 +103,57 @@ class S2DDoubleConv(nn.Module):
         return S2DConvBNReLU(self.features, "raw", dtype=self.dtype,
                              extra_cols=self.extra_cols,
                              name="ConvBNReLU_1")(x)
+
+
+class S2DConvBNReLUH(nn.Module):
+    """conv+BN+ReLU in the H-only (2, 1) s2d layout (ops/s2d_conv.py v3)
+    — parameter-compatible with `ConvBNReLU` (Conv_0/BatchNorm_0
+    children). "entry" consumes a direct map via the fused stride-(2,1)
+    4x3 conv and emits alignedH; "raw" consumes alignedH and emits the
+    unaligned Uh (row-realignment deferred to the consumer).
+    Inference-only (running BN stats)."""
+
+    features: int
+    mode: str  # "entry" | "raw"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2dh_entry,
+            conv3x3_s2dh_raw,
+        )
+
+        ci = x.shape[-1] if self.mode == "entry" else x.shape[-1] // 2
+        kernel, bias = ConvParams((3, 3, ci, self.features), name="Conv_0")()
+        kd = kernel.astype(self.dtype)
+        xd = x.astype(self.dtype)
+        if self.mode == "entry":
+            y = conv3x3_s2dh_entry(xd, kd)
+        else:
+            y = conv3x3_s2dh_raw(xd, kd)
+        y = y + jnp.tile(bias, 2).astype(self.dtype)
+        bn = nn.BatchNorm(
+            use_running_average=True, dtype=self.dtype, momentum=0.9,
+            name="BatchNorm_0",
+        )
+        y = unfold_parity(bn(fold_parity(y, 2)), y.shape[-1], 2)
+        return nn.relu(y).astype(self.dtype)
+
+
+class S2DDoubleConvH(nn.Module):
+    """DoubleConv twin for the H-s2d fast path: entry conv then raw
+    conv. Direct map in → Uh out (pool or realign downstream)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = S2DConvBNReLUH(self.features, "entry", dtype=self.dtype,
+                           name="ConvBNReLU_0")(x)
+        return S2DConvBNReLUH(self.features, "raw", dtype=self.dtype,
+                              name="ConvBNReLU_1")(x)
 
 
 class ConvBNReLU(nn.Module):

@@ -57,6 +57,8 @@ class MatchingConfig:
     stack_sides: bool = struct.field(pytree_node=False, default=False)
     # compute dtype for conv/attention matmuls ("float32" | "bfloat16")
     compute_dtype: str = struct.field(pytree_node=False, default="bfloat16")
+    # s2d backbone layout: "h" (2,1) or "2x2" — see SuperPointBN
+    s2d_layout: str = struct.field(pytree_node=False, default="h")
 
     @property
     def dtype(self):
@@ -83,7 +85,7 @@ class Matching(nn.Module):
         sp_cls = SuperPointBN if cfg.backbone == "bn" else SuperPointVGG
         self.superpoint = sp_cls(
             descriptor_dim=cfg.descriptor_dim, dtype=cfg.dtype,
-            s2d=cfg.s2d_backbone,
+            s2d=cfg.s2d_backbone, s2d_layout=cfg.s2d_layout,
         )
         self.superglue = SuperGlue(
             descriptor_dim=cfg.descriptor_dim,

@@ -49,20 +49,30 @@ class SuperPointBN(nn.Module):
     descriptor_dim: int = 256
     dtype: jnp.dtype = jnp.float32
     s2d: bool = False
+    # "h" = H-only (2, 1) space-to-depth (ops/s2d_conv.py v3): 25% fewer
+    # machine MACs per 3x3 conv than the (2, 2) layout at the same exact
+    # output (measured 1.43x on the level-1 conv, scripts/probe_s2dh.py)
+    s2d_layout: str = "h"  # "h" | "2x2"
 
     @nn.compact
     def __call__(self, image: jax.Array, train: bool = False) -> dict:
         from image_matching_tpu.models.common import (
             ConvParams,
             S2DDoubleConv,
+            S2DDoubleConvH,
             fold_parity,
             unfold_parity,
         )
         from image_matching_tpu.ops.pallas.realign import pool_from_raw
         from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2dh_raw,
             depth_to_space,
+            depth_to_space_h,
+            maxpool2x2_s2dh_from_raw,
             mm1x1_s2d,
+            mm1x1_s2dh,
             realign,
+            realign_h,
         )
 
         c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
@@ -80,7 +90,38 @@ class SuperPointBN(nn.Module):
             self.s2d and not train
             and image.shape[1] % 16 == 0 and image.shape[2] % 16 == 0
         )
-        if use_fast:
+        if use_fast and self.s2d_layout == "h":
+            u = S2DDoubleConvH(c1, dtype=self.dtype, name="inc")(x)
+            u = S2DDoubleConvH(c2, dtype=self.dtype, name="down1")(
+                maxpool2x2_s2dh_from_raw(u)
+            )
+            u = S2DDoubleConvH(c3, dtype=self.dtype, name="down2")(
+                maxpool2x2_s2dh_from_raw(u)
+            )
+            u = S2DDoubleConvH(c4, dtype=self.dtype, name="down3")(
+                maxpool2x2_s2dh_from_raw(u)
+            )
+            x = realign_h(u)  # alignedH of the Hc x Wc 128-ch map (small)
+
+            def head(conv_name, bn_name, feats, inp):
+                k, b_ = ConvParams((3, 3, c4, feats), name=conv_name)()
+                y = conv3x3_s2dh_raw(inp, k.astype(self.dtype))
+                y = y + jnp.tile(b_, 2).astype(self.dtype)
+                y = unfold_parity(bn(bn_name)(fold_parity(y, 2)), y.shape[-1], 2)
+                return nn.relu(y)  # Uh-form
+
+            def head_out(conv_name, bn_name, feats, inp):
+                k, b_ = ConvParams((1, 1, c5, feats), name=conv_name)()
+                y = mm1x1_s2dh(inp, k[0, 0].astype(self.dtype),
+                               b_.astype(self.dtype))
+                y = unfold_parity(bn(bn_name)(fold_parity(y, 2)), y.shape[-1], 2)
+                return depth_to_space_h(realign_h(y).astype(jnp.float32))
+
+            cpa = head("convPa", "bnPa", c5, x)
+            semi = head_out("convPb", "bnPb", 65, cpa)
+            cda = head("convDa", "bnDa", c5, x)
+            desc = head_out("convDb", "bnDb", self.descriptor_dim, cda)
+        elif use_fast:
             # pool_from_raw stays on the XLA formulation: the Pallas
             # realign kernel HW-verifies exact but measures slower than
             # XLA's in-model fusion (decision + numbers banked in
@@ -150,6 +191,7 @@ class SuperPointVGG(nn.Module):
     descriptor_dim: int = 256
     dtype: jnp.dtype = jnp.float32
     s2d: bool = False
+    s2d_layout: str = "h"  # "h" | "2x2" — see SuperPointBN
 
     @nn.compact
     def __call__(self, image: jax.Array, train: bool = False) -> dict:
@@ -159,9 +201,15 @@ class SuperPointVGG(nn.Module):
         from image_matching_tpu.ops.pallas.realign import pool_from_raw
         from image_matching_tpu.ops.s2d_conv import (
             conv3x3_s2d_raw,
+            conv3x3_s2dh_entry,
+            conv3x3_s2dh_raw,
             depth_to_space,
+            depth_to_space_h,
+            maxpool2x2_s2dh_from_raw,
             mm1x1_s2d,
+            mm1x1_s2dh,
             realign,
+            realign_h,
         )
 
         c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
@@ -170,40 +218,49 @@ class SuperPointVGG(nn.Module):
             and image.shape[1] % 16 == 0 and image.shape[2] % 16 == 0
         )
         if use_fast:
+            h_layout = self.s2d_layout == "h"
+            groups = 2 if h_layout else 4
+            entry_fn = conv3x3_s2dh_entry if h_layout else entry_conv
+            raw_fn = conv3x3_s2dh_raw if h_layout else conv3x3_s2d_raw
+            pool_fn = maxpool2x2_s2dh_from_raw if h_layout else pool_from_raw
+            realign_fn = realign_h if h_layout else realign
+            mm_fn = mm1x1_s2dh if h_layout else mm1x1_s2d
+            d2s_fn = depth_to_space_h if h_layout else depth_to_space
+
             def conv(ci, co, name, mode):
                 k, b = ConvParams((3, 3, ci, co), name=name)()
-                fn = entry_conv if mode == "entry" else conv3x3_s2d_raw
+                fn = entry_fn if mode == "entry" else raw_fn
 
                 def run(x):
                     y = fn(x, k.astype(self.dtype))
-                    return nn.relu(y + jnp.tile(b, 4).astype(self.dtype))
+                    return nn.relu(y + jnp.tile(b, groups).astype(self.dtype))
                 return run
 
             def conv1x1(ci, co, name):
                 k, b = ConvParams((1, 1, ci, co), name=name)()
-                return lambda x: mm1x1_s2d(
+                return lambda x: mm_fn(
                     x, k[0, 0].astype(self.dtype), b.astype(self.dtype)
                 )
 
             x = image.astype(self.dtype)
             u = conv(c1, c1, "conv1b", "raw")(conv(1, c1, "conv1a", "entry")(x))
             u = conv(c2, c2, "conv2b", "raw")(
-                conv(c1, c2, "conv2a", "entry")(pool_from_raw(u))
+                conv(c1, c2, "conv2a", "entry")(pool_fn(u))
             )
             u = conv(c3, c3, "conv3b", "raw")(
-                conv(c2, c3, "conv3a", "entry")(pool_from_raw(u))
+                conv(c2, c3, "conv3a", "entry")(pool_fn(u))
             )
             u = conv(c4, c4, "conv4b", "raw")(
-                conv(c3, c4, "conv4a", "entry")(pool_from_raw(u))
+                conv(c3, c4, "conv4a", "entry")(pool_fn(u))
             )
-            x = realign(u)  # aligned s2d of the Hc x Wc 128-ch map
+            x = realign_fn(u)  # aligned s2d of the Hc x Wc 128-ch map
             cpa = conv(c4, c5, "convPa", "raw")(x)
-            semi = depth_to_space(
-                realign(conv1x1(c5, 65, "convPb")(cpa)).astype(jnp.float32)
+            semi = d2s_fn(
+                realign_fn(conv1x1(c5, 65, "convPb")(cpa)).astype(jnp.float32)
             )
             cda = conv(c4, c5, "convDa", "raw")(x)
-            desc = depth_to_space(
-                realign(conv1x1(c5, self.descriptor_dim, "convDb")(cda)).astype(
+            desc = d2s_fn(
+                realign_fn(conv1x1(c5, self.descriptor_dim, "convDb")(cda)).astype(
                     jnp.float32
                 )
             )

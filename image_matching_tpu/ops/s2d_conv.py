@@ -220,3 +220,135 @@ def mm1x1_s2d(x: jax.Array, w: jax.Array, bias=None) -> jax.Array:
     if bias is not None:
         y = y + bias
     return y.reshape(*lead, 4 * co)
+
+
+# ---------------------------------------------------------------------------
+# H-only space-to-depth variants (v3): factor (2, 1) instead of (2, 2).
+#
+# The (2, 2) s2d conv above saturates the MXU but pays a structural FLOP
+# tax: expressing a 3-tap window in 2-aligned space fills 3 of 4
+# (row, dy) slots per axis, so the (2, 2, 4ci, 4co) kernel is 9/16 dense
+# — the machine does 16/9 x the useful MACs. Splitting rows only keeps
+# the column axis dense (3 true taps): the (2, 3, 2ci, 2co) kernel is
+# 12/18... i.e. 3/4 dense along rows and fully dense along columns, so
+# machine MACs drop to 12/9 of useful — 25% less than the (2, 2) form —
+# while 2C = 128 channels still exactly fill the MXU's 128 lanes for the
+# backbone's 64-channel levels. Realignment is also cheaper: parity
+# groups differ by a ROW shift only, which moves whole (W, C) tiles
+# instead of slicing the lane/sublane dims.
+#
+# Representations mirror the v2 pipeline:
+#   direct : (B, H, W, C)
+#   alignedH: (B, H/2, W, 2C), channels (dy, c) — space_to_depth_h
+#   Uh     : (B, H/2+1, W, 2C) unaligned conv output; parity group dy'
+#            = py holds its aligned row i value at Uh[i + py]
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth_h(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) → (B, H/2, W, 2C), channel layout (dy, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w, c)
+    return x.transpose(0, 1, 3, 2, 4).reshape(b, h // 2, w, 2 * c)
+
+
+def depth_to_space_h(x: jax.Array) -> jax.Array:
+    """(B, H/2, W, 2C) with (dy, c) channels → (B, H, W, C)."""
+    b, hh, w, c2 = x.shape
+    c = c2 // 2
+    x = x.reshape(b, hh, w, 2, c)
+    return x.transpose(0, 1, 3, 2, 4).reshape(b, hh * 2, w, c)
+
+
+def s2dh_kernel(w: jax.Array, py: int) -> jax.Array:
+    """(3, 3, ci, co) → the (2, 3, 2ci, co) kernel of output row parity
+    py in H-s2d space: full-res tap row u = py + ky − 1 = 2a + dy,
+    kernel row r = a + 1 − py ∈ {0, 1}; columns stay dense."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 3, 2 * ci, co), w.dtype)
+    for ky in range(3):
+        u = py + ky - 1
+        a, dy = u >> 1, u & 1
+        r = a + 1 - py
+        out = out.at[r, :, dy * ci:(dy + 1) * ci, :].set(w[ky])
+    return out
+
+
+def s2dh_kernel_all(w: jax.Array) -> jax.Array:
+    """(3, 3, ci, co) → (2, 3, 2ci, 2co): both row-parity kernels stacked
+    along output channels in (py, co) order."""
+    return jnp.concatenate([s2dh_kernel(w, 0), s2dh_kernel(w, 1)], axis=-1)
+
+
+def conv3x3_s2dh_raw(x_h: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME 3x3 stride-1 conv in H-s2d space: alignedH (B, H/2, W, 2ci)
+    in → UNALIGNED Uh (B, H/2+1, W, 2co) out. Parity group py aligns at
+    row offset py (realign_h / pool consumers shift rows only)."""
+    return jax.lax.conv_general_dilated(
+        x_h, s2dh_kernel_all(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x_h.dtype,
+    )
+
+
+def realign_h(u: jax.Array) -> jax.Array:
+    """Uh (B, H/2+1, W, 2C) → alignedH (B, H/2, W, 2C): two row-shifted
+    slices — no lane/sublane slicing."""
+    hh = u.shape[1] - 1
+    c = u.shape[3] // 2
+    return jnp.concatenate(
+        [u[:, 0:hh, :, :c], u[:, 1:hh + 1, :, c:]], axis=-1
+    )
+
+
+def entry_kernel_h(w: jax.Array) -> jax.Array:
+    """(3, 3, ci, co) → (4, 3, ci, 2co): kernel of the stride-(2, 1) conv
+    computing conv3x3-then-s2d_h straight from a direct-layout input.
+    Row parity py taps full-res rows u = py + ky − 1 ∈ {−1..2} → kernel
+    row u + 1 in a 4-row window anchored at 2i − 1 (pad ((1, 2), (1, 1)),
+    row stride 2); columns stay the dense 3 taps."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((4, 3, ci, 2 * co), w.dtype)
+    for py in range(2):
+        for ky in range(3):
+            u = py + ky - 1
+            out = out.at[u + 1, :, :, py * co:(py + 1) * co].set(w[ky])
+    return out
+
+
+def conv3x3_s2dh_entry(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME 3x3 conv fused with space_to_depth_h: direct (B, H, W, ci)
+    in, alignedH (B, H/2, W, 2co) out — one stride-(2, 1) 4x3 conv.
+    Equal to space_to_depth_h(conv3x3(x, w))."""
+    return jax.lax.conv_general_dilated(
+        x, entry_kernel_h(w), (2, 1), ((1, 2), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+def maxpool2x2_s2dh_from_raw(u: jax.Array) -> jax.Array:
+    """2x2/stride-2 maxpool fused with realignment: Uh in, direct
+    (B, H/2, W/2, C) out. Rows reduce across the two parity groups
+    (each s2d row covers both full-res rows); columns reduce pairwise
+    via reduce_window — the reshape-(W/2, 2)-max and strided-slice
+    formulations both relayout the sublane dim and measured ~2 ms
+    slower at the level-1 shape (scripts/probe_poolh.py)."""
+    hh = u.shape[1] - 1
+    c = u.shape[3] // 2
+    y = jnp.maximum(u[:, 0:hh, :, :c], u[:, 1:hh + 1, :, c:])  # (B,hh,W,C)
+    init = -jnp.inf if y.dtype == jnp.float32 else jnp.finfo(y.dtype).min
+    return jax.lax.reduce_window(
+        y, init, jax.lax.max, (1, 1, 2, 1), (1, 1, 2, 1), "VALID"
+    )
+
+
+def mm1x1_s2dh(x: jax.Array, w: jax.Array, bias=None) -> jax.Array:
+    """1x1 conv in H-s2d layout (aligned or Uh): (..., 2ci) @ (ci, co)
+    → (..., 2co)."""
+    *lead, c2 = x.shape
+    ci, co = w.shape
+    y = x.reshape(*lead, 2, ci) @ w
+    if bias is not None:
+        y = y + bias
+    return y.reshape(*lead, 2 * co)

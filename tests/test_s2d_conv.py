@@ -73,14 +73,14 @@ def test_chained_conv_pool_stays_exact():
 class TestS2DModels:
     """s2d=True models are parameter- and output-compatible with plain."""
 
-    def _check(self, cls, **kw):
+    def _check(self, cls, layout="2x2", **kw):
         import jax
         from flax.core import unfreeze
 
         rng = np.random.default_rng(5)
         img = jnp.asarray(rng.uniform(size=(2, 64, 80, 1)).astype(np.float32))
         plain = cls(descriptor_dim=64, s2d=False, **kw)
-        fast = cls(descriptor_dim=64, s2d=True, **kw)
+        fast = cls(descriptor_dim=64, s2d=True, s2d_layout=layout, **kw)
         v_plain = plain.init(jax.random.PRNGKey(0), img)
         v_fast = fast.init(jax.random.PRNGKey(0), img)
         # identical param trees (paths AND values — same init rng paths)
@@ -110,6 +110,16 @@ class TestS2DModels:
         from image_matching_tpu.models.superpoint import SuperPointBN
 
         self._check(SuperPointBN)
+
+    def test_vgg_s2dh_parity(self):
+        from image_matching_tpu.models.superpoint import SuperPointVGG
+
+        self._check(SuperPointVGG, layout="h")
+
+    def test_bn_s2dh_parity(self):
+        from image_matching_tpu.models.superpoint import SuperPointBN
+
+        self._check(SuperPointBN, layout="h")
 
     def test_bn_s2d_train_stats_match(self):
         import jax
@@ -199,4 +209,101 @@ class TestS2DFusedVariants:
         # applying 1x1 then realigning == realigning then applying 1x1
         a = realign(mm1x1_s2d(u, w))
         b = mm1x1_s2d(realign(u), w)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestS2DHVariants:
+    """H-only (2, 1) space-to-depth pipeline (ops/s2d_conv.py v3):
+    25% fewer machine MACs than the (2, 2) form (kernel 3/4 dense along
+    rows, fully dense along columns) at the same exact output."""
+
+    def _rand(self, *shape):
+        return jnp.asarray(
+            np.random.default_rng(hash(shape) % 2**31).normal(size=shape),
+            jnp.float32,
+        )
+
+    def test_roundtrip(self):
+        from image_matching_tpu.ops.s2d_conv import (
+            depth_to_space_h,
+            space_to_depth_h,
+        )
+
+        x = self._rand(2, 8, 6, 5)
+        np.testing.assert_array_equal(
+            np.asarray(depth_to_space_h(space_to_depth_h(x))), np.asarray(x)
+        )
+
+    def test_raw_conv_realign_matches_direct(self):
+        from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2dh_raw,
+            depth_to_space_h,
+            realign_h,
+            space_to_depth_h,
+        )
+
+        x = self._rand(2, 16, 24, 5)
+        w = self._rand(3, 3, 5, 7)
+        got = depth_to_space_h(realign_h(conv3x3_s2dh_raw(space_to_depth_h(x), w)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(_direct_conv(x, w)), atol=1e-5
+        )
+
+    def test_entry_conv_matches_conv_then_s2dh(self):
+        from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2dh_entry,
+            space_to_depth_h,
+        )
+
+        x = self._rand(2, 16, 24, 3)
+        w = self._rand(3, 3, 3, 8)
+        got = conv3x3_s2dh_entry(x, w)
+        ref = space_to_depth_h(_direct_conv(x, w))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_fused_pool_matches_direct(self):
+        from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2dh_raw,
+            maxpool2x2_s2dh_from_raw,
+            space_to_depth_h,
+        )
+
+        x = self._rand(2, 16, 24, 4)
+        w = self._rand(3, 3, 4, 8)
+        ref = jax.lax.reduce_window(
+            _direct_conv(x, w), -jnp.inf, jax.lax.max,
+            (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+        )
+        got = maxpool2x2_s2dh_from_raw(conv3x3_s2dh_raw(space_to_depth_h(x), w))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_full_level_chain(self):
+        """entry_h → raw_h → fused pool == plain conv/conv/pool."""
+        from image_matching_tpu.ops.s2d_conv import (
+            conv3x3_s2dh_entry,
+            conv3x3_s2dh_raw,
+            maxpool2x2_s2dh_from_raw,
+        )
+
+        x = self._rand(2, 16, 24, 3)
+        w1 = self._rand(3, 3, 3, 8)
+        w2 = self._rand(3, 3, 8, 8)
+        ref = _direct_conv(_direct_conv(x, w1), w2)
+        ref = jax.lax.reduce_window(
+            ref, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+        got = maxpool2x2_s2dh_from_raw(
+            conv3x3_s2dh_raw(conv3x3_s2dh_entry(x, w1), w2)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_mm1x1_parity_invariance(self):
+        from image_matching_tpu.ops.s2d_conv import mm1x1_s2dh, realign_h
+
+        u = self._rand(2, 7, 9, 8)  # fake Uh (2 groups of 4)
+        w = self._rand(4, 5)
+        a = realign_h(mm1x1_s2dh(u, w))
+        b = mm1x1_s2dh(realign_h(u), w)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
