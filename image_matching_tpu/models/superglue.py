@@ -34,13 +34,16 @@ from image_matching_tpu.structs import Keypoints, MatchResult
 NEG_INF = -1e9
 
 # "auto" attention resolves to the Pallas flash kernel at/above this many
-# keypoints (on TPU). Measured on v5e (scripts/bench_attention.py →
-# artifacts/attention_bench.json, carry-dependent scan timing): einsum fwd
-# 0.03/0.39/1.7/6.1 ms at N=1k/2k/4k/5k vs flash 0.26/0.98/3.9/6.1 — then
-# einsum falls off a cliff once the f32 logits stop tiling (84.6 ms at
-# 6144, 224 ms at 8192) while flash stays linear-ish (8.8/15.5 ms).
-# Crossover is the tie at N=5120; fwd+bwd shows the same shape.
-FLASH_MIN_KEYPOINTS = 5120
+# keypoints (on TPU). Measured on v5e with the VMEM-filling adaptive
+# block sizes (scripts/bench_attention.py → artifacts/attention_bench
+# .json, carry-dependent scan timing): at N=1024 einsum still wins
+# (0.062 vs 0.070 ms at the in-model fold 16, even with a single
+# kv-resident block), but at N=2048 flash wins 2.8x (0.138 vs 0.386 ms
+# fwd at fold 8; 0.276 vs 0.775 at fold 16) and einsum's f32 logits
+# stop tiling entirely past 5k (84.6 ms at 6144). fwd+bwd crossover
+# matches. Larger batch folds shift the crossover lower still (fold 32:
+# flash already 2.5x at N=1024) — 2048 is the conservative boundary.
+FLASH_MIN_KEYPOINTS = 2048
 
 
 def normalize_keypoints(
