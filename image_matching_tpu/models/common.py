@@ -253,12 +253,51 @@ class SeqMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array] = None, train: bool = False):
+    def __call__(
+        self,
+        x,
+        mask: Optional[jax.Array] = None,
+        train: bool = False,
+        x2: Optional[jax.Array] = None,
+    ):
+        """`x2`: optional second input, treated as if concatenated onto
+        `x` along the channel axis — the first Dense splits its kernel
+        (x @ W[:c] + x2 @ W[c:]) instead of materialising the concat
+        (8 MB/GNN-layer-side of pure HBM traffic at the headline shape).
+        Parameter shapes and outputs are identical to passing
+        concatenate([x, x2]) as `x`."""
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, dtype=self.dtype, param_dtype=jnp.float32)(x)
+            if i == 0 and x2 is not None:
+                x = _SplitDense(ch, dtype=self.dtype, name="Dense_0")(x, x2)
+            else:
+                x = nn.Dense(ch, dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"Dense_{i}")(x)
             if i < n - 1:
                 if self.do_bn:
                     x = MaskedBatchNorm1d()(x, mask, train)
                 x = nn.relu(x)
         return x
+
+
+class _SplitDense(nn.Module):
+    """nn.Dense over an implicit concat([x, x2], -1) without forming the
+    concat: same param names/shapes ("kernel" (c1+c2, ch), "bias") so
+    checkpoints are interchangeable with a plain Dense."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x2):
+        c1, c2 = x.shape[-1], x2.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (c1 + c2, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        k = kernel.astype(self.dtype)
+        y = x.astype(self.dtype) @ k[:c1] + x2.astype(self.dtype) @ k[c1:]
+        return y + bias.astype(self.dtype)

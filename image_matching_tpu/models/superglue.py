@@ -138,10 +138,12 @@ class AttentionalPropagation(nn.Module):
             self.num_heads, self.dim, dtype=self.dtype,
             impl=self.attention_impl, name="attn"
         )(x, source, source_mask)
-        y = jnp.concatenate([x, message], axis=-1)
+        # x2= splits the first Dense kernel instead of materialising
+        # concat([x, message]) — identical params/outputs, saves
+        # 8 MB/layer-side of HBM traffic at the headline shape
         return SeqMLP(
             (self.dim * 2, self.dim), dtype=self.dtype, name="mlp"
-        )(y, x_mask, train)
+        )(x, x_mask, train, x2=message)
 
 
 class AttentionalGNN(nn.Module):

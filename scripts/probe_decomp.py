@@ -117,8 +117,10 @@ def main():
     k0, k1 = jax.jit(lambda: kps(3))(), jax.jit(lambda: kps(7))()
 
     def glue(xy0, sc0, d0, m0, xy1, sc1, d1, m1):
-        r = sg.apply(sg_vars, Keypoints(xy0, sc0, d0, m0),
-                     Keypoints(xy1, sc1, d1, m1), (H, W), (H, W))
+        r = sg.apply(sg_vars,
+                     Keypoints(xy=xy0, score=sc0, desc=d0, mask=m0),
+                     Keypoints(xy=xy1, score=sc1, desc=d1, mask=m1),
+                     (H, W), (H, W))
         return r["matching_scores0"]
 
     timed(glue, (k0.xy, k0.score, k0.desc, k0.mask,
