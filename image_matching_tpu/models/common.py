@@ -37,6 +37,27 @@ class ConvParams(nn.Module):
         return kernel, bias
 
 
+class DenseParams(nn.Module):
+    """Parameter shim: declares `kernel`/`bias` exactly like `nn.Dense`
+    (same names, shapes, init — checkpoints interchangeable) but returns
+    the arrays for custom fused compute, e.g. one concatenated Q/K/V
+    matmul in MultiHeadedAttention."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 def fold_parity(x, groups: int = 4):
     """View an s2d/U tensor (..., W', G*C) as (..., W'*G, C) so
     per-channel ops (BatchNorm) see shape-(C,) features. G = 4 for the
@@ -259,17 +280,23 @@ class SeqMLP(nn.Module):
         mask: Optional[jax.Array] = None,
         train: bool = False,
         x2: Optional[jax.Array] = None,
+        x2_fold=None,
     ):
         """`x2`: optional second input, treated as if concatenated onto
         `x` along the channel axis — the first Dense splits its kernel
         (x @ W[:c] + x2 @ W[c:]) instead of materialising the concat
         (8 MB/GNN-layer-side of pure HBM traffic at the headline shape).
-        Parameter shapes and outputs are identical to passing
-        concatenate([x, x2]) as `x`."""
+        Parameter shapes are identical to passing concatenate([x, x2]) as
+        `x`; outputs are identical up to dtype rounding (the two partial
+        matmuls are each rounded to the compute dtype before the add).
+        `x2_fold=(W, b)`: treat `x2` as (x2 @ W + b), folding that
+        projection into the x2 half of the kernel (see _SplitDense)."""
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
             if i == 0 and x2 is not None:
-                x = _SplitDense(ch, dtype=self.dtype, name="Dense_0")(x, x2)
+                x = _SplitDense(ch, dtype=self.dtype, name="Dense_0")(
+                    x, x2, x2_fold
+                )
             else:
                 x = nn.Dense(ch, dtype=self.dtype, param_dtype=jnp.float32,
                              name=f"Dense_{i}")(x)
@@ -283,14 +310,23 @@ class SeqMLP(nn.Module):
 class _SplitDense(nn.Module):
     """nn.Dense over an implicit concat([x, x2], -1) without forming the
     concat: same param names/shapes ("kernel" (c1+c2, ch), "bias") so
-    checkpoints are interchangeable with a plain Dense."""
+    checkpoints are interchangeable with a plain Dense. Outputs equal the
+    fused single matmul up to dtype rounding (each partial matmul is
+    rounded to the compute dtype before the add; exact in float32).
+
+    `x2_fold=(W, b)`: the caller's `x2` is a *pre-projection* tensor whose
+    projection x2 @ W + b it wants folded in: the x2 half of the kernel
+    becomes W @ kernel[c1:] (computed once in f32) and b @ kernel[c1:]
+    joins the bias — one fewer full-size matmul, equal up to dtype
+    rounding (reassociation)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x2):
-        c1, c2 = x.shape[-1], x2.shape[-1]
+    def __call__(self, x, x2, x2_fold=None):
+        c1 = x.shape[-1]
+        c2 = x2_fold[0].shape[0] if x2_fold is not None else x2.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (c1 + c2, self.features), jnp.float32,
@@ -299,5 +335,11 @@ class _SplitDense(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
         k = kernel.astype(self.dtype)
-        y = x.astype(self.dtype) @ k[:c1] + x2.astype(self.dtype) @ k[c1:]
+        if x2_fold is not None:
+            w, b = x2_fold
+            k2 = (w.astype(jnp.float32) @ kernel[c1:]).astype(self.dtype)
+            bias = bias + b.astype(jnp.float32) @ kernel[c1:]
+            y = x.astype(self.dtype) @ k[:c1] + x2.astype(self.dtype) @ k2
+        else:
+            y = x.astype(self.dtype) @ k[:c1] + x2.astype(self.dtype) @ k[c1:]
         return y + bias.astype(self.dtype)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from image_matching_tpu.models.common import SeqMLP
+from image_matching_tpu.models.common import DenseParams, SeqMLP
 from image_matching_tpu.ops.sinkhorn import (
     extract_matches_from_transport,
     log_optimal_transport,
@@ -79,14 +79,31 @@ class MultiHeadedAttention(nn.Module):
         query: jax.Array,  # (B, N, D)
         source: jax.Array,  # (B, M, D) — keys and values
         source_mask: Optional[jax.Array] = None,  # (B, M)
+        return_premerge: bool = False,
     ) -> jax.Array:
         d_head = self.dim // self.num_heads
-        dense = lambda name: nn.Dense(
-            self.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
-        )
-        q = dense("proj_q")(query)
-        k = dense("proj_k")(source)
-        v = dense("proj_v")(source)
+        cd = self.dtype
+        params = lambda name: DenseParams(self.dim, self.dim, name=name)()
+        kq, bq = params("proj_q")
+        kk, bk = params("proj_k")
+        kv, bv = params("proj_v")
+        # Fused projections: one matmul with the kernels concatenated
+        # along the output dim instead of three (two when Q comes from a
+        # different tensor, i.e. cross layers). Output columns are tiled
+        # independently on the MXU with the same contraction order, so
+        # results are bit-identical to separate Dense calls; what changes
+        # is dispatch count and output-tile occupancy (256 -> 768 cols).
+        if source is query:
+            kernel = jnp.concatenate([kq, kk, kv], axis=1).astype(cd)
+            bias = jnp.concatenate([bq, bk, bv]).astype(cd)
+            qkv = query.astype(cd) @ kernel + bias
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = query.astype(cd) @ kq.astype(cd) + bq.astype(cd)
+            kernel = jnp.concatenate([kk, kv], axis=1).astype(cd)
+            bias = jnp.concatenate([bk, bv]).astype(cd)
+            kv_ = source.astype(cd) @ kernel + bias
+            k, v = jnp.split(kv_, 2, axis=-1)
 
         b, n, _ = q.shape
         m = k.shape[1]
@@ -121,7 +138,12 @@ class MultiHeadedAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
         out = out.reshape(b, n, self.dim)
-        return dense("merge")(out)
+        km, bm = params("merge")
+        if return_premerge:
+            # caller folds the merge projection into its next matmul
+            # (AttentionalPropagation -> SeqMLP Dense_0)
+            return out, km, bm
+        return out.astype(cd) @ km.astype(cd) + bm.astype(cd)
 
 
 class AttentionalPropagation(nn.Module):
@@ -134,16 +156,24 @@ class AttentionalPropagation(nn.Module):
 
     @nn.compact
     def __call__(self, x, source, x_mask, source_mask, train: bool = False):
-        message = MultiHeadedAttention(
+        attn = MultiHeadedAttention(
             self.num_heads, self.dim, dtype=self.dtype,
             impl=self.attention_impl, name="attn"
-        )(x, source, source_mask)
+        )
+        mlp = SeqMLP((self.dim * 2, self.dim), dtype=self.dtype, name="mlp")
         # x2= splits the first Dense kernel instead of materialising
         # concat([x, message]) — identical params/outputs, saves
-        # 8 MB/layer-side of HBM traffic at the headline shape
-        return SeqMLP(
-            (self.dim * 2, self.dim), dtype=self.dtype, name="mlp"
-        )(x, x_mask, train, x2=message)
+        # 8 MB/layer-side of HBM traffic at the headline shape.
+        if not train:
+            # Inference additionally folds the attention merge projection
+            # into the message half of that kernel: msg @ Wm @ K2 becomes
+            # msg @ (Wm K2) with the fold done once in f32 — one fewer
+            # (B·N, D) x (D, D) matmul per layer-side, same params, equal
+            # up to dtype rounding (reassociation).
+            message, km, bm = attn(x, source, source_mask, return_premerge=True)
+            return mlp(x, x_mask, train, x2=message, x2_fold=(km, bm))
+        message = attn(x, source, source_mask)
+        return mlp(x, x_mask, train, x2=message)
 
 
 class AttentionalGNN(nn.Module):

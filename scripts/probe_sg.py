@@ -69,10 +69,12 @@ def main():
                     c, _ = jax.lax.scan(body, 0.0, None, length=args.iters // 2)
                     return c
 
-                run(variables, kpts0, kpts1).block_until_ready()
+                # read the scalar back — through the relay
+                # block_until_ready can acknowledge early (see bench.py)
+                float(run(variables, kpts0, kpts1))
                 t0 = time.perf_counter()
-                run(variables, kpts0, kpts1).block_until_ready()
-                dt = (time.perf_counter() - t0) / args.iters
+                float(run(variables, kpts0, kpts1))
+                dt = (time.perf_counter() - t0) / (args.iters // 2)
                 print(f"B={b} impl={impl} stack={stack}: {dt*1e3:.3f} ms/fwd "
                       f"({dt*1e3/b:.3f} ms/pair-side-set)", flush=True)
 
