@@ -139,7 +139,15 @@ class S2DConvBNReLUH(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        # Inference-only contract: BatchNorm uses running statistics. A
+        # training caller must use ConvBNReLU (the plain path) instead —
+        # batch statistics over the Uh padding edge would drift.
+        if train:
+            raise ValueError(
+                "S2DConvBNReLUH is inference-only (running BN stats); "
+                "use ConvBNReLU for training"
+            )
         from image_matching_tpu.ops.s2d_conv import (
             conv3x3_s2dh_entry,
             conv3x3_s2dh_raw,

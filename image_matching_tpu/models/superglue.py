@@ -135,6 +135,13 @@ class MultiHeadedAttention(nn.Module):
             ) / (d_head ** 0.5)
             if source_mask is not None:
                 logits = jnp.where(source_mask[:, None, None, :], logits, NEG_INF)
+            # NOTE (round-4 measurement): moving the softmax
+            # normalisation after the PV matmul with a bf16 exp tensor
+            # ((exp @ v) / s) measured 1.3 ms SLOWER in-model — XLA
+            # splits the row-sum into its own full-tensor pass and the
+            # divide forces a worse PV output layout
+            # (scripts/profile_headline.py). The plain softmax fuses
+            # logits+mask+softmax into one op; keep it.
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
         out = out.reshape(b, n, self.dim)

@@ -319,12 +319,54 @@ def entry_kernel_h(w: jax.Array) -> jax.Array:
 def conv3x3_s2dh_entry(x: jax.Array, w: jax.Array) -> jax.Array:
     """SAME 3x3 conv fused with space_to_depth_h: direct (B, H, W, ci)
     in, alignedH (B, H/2, W, 2co) out — one stride-(2, 1) 4x3 conv.
-    Equal to space_to_depth_h(conv3x3(x, w))."""
+    Equal to space_to_depth_h(conv3x3(x, w)).
+
+    ci == 1 (the image-entry conv) dispatches to a tap-major matmul
+    formulation: XLA lowers a 1-input-channel conv on the VPU as 12
+    broadcast-fmas over the full-res (240x640x128) output — measured
+    1.36 ms + 0.46 ms of input layout copies at the headline shape,
+    profiler trace — while the same contraction phrased as
+    (12 taps) @ (12, 2co) runs on the MXU in ~0.4 ms (bandwidth-bound
+    on the output write). Taps are stacked on MAJOR axes so the patch
+    build is whole-(W)-row slices, not minor-dim concats (an im2col
+    with taps on the minor axis measured 3.1 ms,
+    scripts/probe_entry_im2col.py)."""
+    if x.shape[-1] == 1:
+        return _entry_h_mm(x, w)
     return jax.lax.conv_general_dilated(
         x, entry_kernel_h(w), (2, 1), ((1, 2), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
     )
+
+
+def _entry_h_mm(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Tap-as-channels form of the ci=1 entry conv.
+
+    Builds P[b, i, w, (u, kx)] = xpad[b, 2i - 1 + u, w + kx - 1] — taps
+    stacked on MAJOR axes first ((i, w) stay minor, so every slice moves
+    whole rows) and relaid to channels in one fused transpose (a 29 MB
+    tensor at the headline shape) — then runs a 1x1 conv over the 12 tap
+    channels. The 1x1 conv lowers to an MXU matmul AND keeps XLA's
+    conv-preferred layouts, so the downstream in-level conv doesn't
+    relayout (a dot_general here measured +0.43 ms on that conv)."""
+    b, h, wd, _ = x.shape
+    co = w.shape[3]
+    img = x[..., 0]                                  # (B, H, W)
+    img = jnp.pad(img, ((0, 0), (1, 2), (1, 1)))     # rows (1,2), cols (1,1)
+    rows = jnp.stack(
+        [img[:, u:u + h:2, :] for u in range(4)], axis=1
+    )                                                # (B, 4, H/2, W+2)
+    taps = jnp.stack(
+        [rows[:, :, :, kx:kx + wd] for kx in range(3)], axis=2
+    )                                                # (B, 4, 3, H/2, W)
+    patches = taps.transpose(0, 3, 4, 1, 2).reshape(b, h // 2, wd, 12)
+    kmat = entry_kernel_h(w).reshape(1, 1, 12, 2 * co)  # ci == 1
+    return jax.lax.conv_general_dilated(
+        patches, kmat, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )                                                # (B, H/2, W, 2co)
 
 
 def maxpool2x2_s2dh_from_raw(u: jax.Array) -> jax.Array:
