@@ -58,6 +58,34 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class BNParams(nn.Module):
+    """Parameter shim: declares scale/bias params and mean/var running
+    stats exactly like `nn.BatchNorm` (same names, shapes, inits — and,
+    given the same module name, checkpoint-interchangeable) but returns
+    the arrays so inference fast paths can fold the affine into a fused
+    kernel epilogue (ops/pallas/entry_h.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean.value, var.value
+
+
 def fold_parity(x, groups: int = 4):
     """View an s2d/U tensor (..., W', G*C) as (..., W'*G, C) so
     per-channel ops (BatchNorm) see shape-(C,) features. G = 4 for the
@@ -157,6 +185,23 @@ class S2DConvBNReLUH(nn.Module):
         kernel, bias = ConvParams((3, 3, ci, self.features), name="Conv_0")()
         kd = kernel.astype(self.dtype)
         xd = x.astype(self.dtype)
+        if (
+            self.mode == "entry" and ci == 1
+            and self.dtype == jnp.bfloat16
+        ):
+            # image entry conv: one fused Pallas pass (conv + bias + BN
+            # + ReLU folded into a per-channel affine epilogue) — the op
+            # is output-write-bound, so the unfused chain's extra HBM
+            # round-trips dominate its cost (ops/pallas/entry_h.py)
+            from image_matching_tpu.ops.pallas.entry_h import entry_h_fused
+
+            g, b2, mu, var = BNParams(self.features, name="BatchNorm_0")()
+            inv = g * jax.lax.rsqrt(var + 1e-5)
+            return entry_h_fused(
+                xd[..., 0], kernel,
+                jnp.tile(inv, 2),
+                jnp.tile((bias - mu) * inv + b2, 2),
+            )
         if self.mode == "entry":
             y = conv3x3_s2dh_entry(xd, kd)
         else:

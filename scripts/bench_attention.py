@@ -4,7 +4,12 @@ Times forward AND forward+backward at several keypoint counts to set
 FLASH_MIN_KEYPOINTS (models/superglue.py) from data (VERDICT round-1
 item 4). Slope timing inside one jitted scan, as bench.py.
 
-  python scripts/bench_attention.py
+  python scripts/bench_attention.py [--fold F] [N ...]
+
+The batch×heads fold defaults to 8 (the in-model batch-2-pairs shape);
+`--fold 16` / `--fold 32` bank the larger-fold rows the
+FLASH_MIN_KEYPOINTS comment relies on (advisor round-3 item). Results
+merge into artifacts/attention_bench.json keyed by fold.
 """
 import json
 import os
@@ -26,7 +31,7 @@ from image_matching_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-B, D = 8, 64  # batch×heads fold, head dim (SuperGlue: 4 heads × 64)
+B, D = 8, 64  # default batch×heads fold, head dim (SuperGlue: 4 heads × 64)
 
 
 def timed_scan(fn, args):
@@ -75,12 +80,18 @@ def timed_scan(fn, args):
 def main():
     rng = np.random.default_rng(0)
     results = {}
-    ns = tuple(int(a) for a in sys.argv[1:]) or (1024, 2048, 4096, 6144, 8192)
+    argv = sys.argv[1:]
+    fold = B
+    if "--fold" in argv:
+        i = argv.index("--fold")
+        fold = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    ns = tuple(int(a) for a in argv) or (1024, 2048, 4096, 6144, 8192)
     for n in ns:
-        q = jnp.asarray(rng.normal(size=(B, n, D)), jnp.bfloat16)
-        k = jnp.asarray(rng.normal(size=(B, n, D)), jnp.bfloat16)
-        v = jnp.asarray(rng.normal(size=(B, n, D)), jnp.bfloat16)
-        mask = jnp.asarray(rng.uniform(size=(B, n)) < 0.9)
+        q = jnp.asarray(rng.normal(size=(fold, n, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(fold, n, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(fold, n, D)), jnp.bfloat16)
+        mask = jnp.asarray(rng.uniform(size=(fold, n)) < 0.9)
 
         fwd = {}
         fwd["einsum"] = timed_scan(attention_reference, (q, k, v, mask))
@@ -102,21 +113,27 @@ def main():
         }
         print(n, json.dumps(results[n]), flush=True)
 
-    # merge with prior sweeps so partial runs (explicit argv Ns) extend
-    # rather than replace the banked artifact
+    # merge with prior sweeps so partial runs (explicit argv Ns / folds)
+    # extend rather than replace the banked artifact
     path = "artifacts/attention_bench.json"
-    merged = {}
+    folds = {}
     if os.path.exists(path):
         with open(path) as f:
-            merged = json.load(f).get("results", {})
-    merged.update({str(k): v for k, v in results.items()})
-    merged = dict(sorted(merged.items(), key=lambda kv: int(kv[0])))
+            prior = json.load(f)
+        folds = prior.get("folds", {})
+        if "results" in prior:  # legacy fold-8-only schema
+            folds.setdefault(str(prior["shape"]["batch_x_heads"]),
+                             prior["results"])
+    mine = folds.setdefault(str(fold), {})
+    mine.update({str(k): v for k, v in results.items()})
+    folds[str(fold)] = dict(sorted(mine.items(), key=lambda kv: int(kv[0])))
+    folds = dict(sorted(folds.items(), key=lambda kv: int(kv[0])))
     with open(path, "w") as f:
         json.dump(
             {
                 "device": str(jax.devices()[0].device_kind),
-                "shape": {"batch_x_heads": B, "head_dim": D},
-                "results": merged,
+                "head_dim": D,
+                "folds": folds,
             },
             f, indent=2,
         )

@@ -6,8 +6,8 @@ attention and coupling live on one GPU (superglue_test.py:85-89); here
 
   * --backend tpu: the full detect+match pipeline on one chip — the
     "auto" attention resolves to the Pallas flash kernel at this size
-    (FLASH_MIN_KEYPOINTS=5120, artifacts/attention_bench.json: einsum is 224
-    ms/attention at 8k, flash 15.5 ms) and Sinkhorn falls back to the
+    (FLASH_MIN_KEYPOINTS=2048, artifacts/attention_bench.json: einsum is
+    224 ms/attention at 8k, flash 1.97 ms) and Sinkhorn falls back to the
     differentiable scan (coupling no longer fits VMEM);
   * --backend cpu_mesh: SuperGlue context-parallel over an 8-device
     mesh (ring attention + sharded Sinkhorn + distributed extraction),
