@@ -67,6 +67,10 @@ def parse_args():
                    help="corner jitter in px for --gt perspective")
     p.add_argument("--photo_asym", action="store_true",
                    help="apply photometric corruption to the source only")
+    p.add_argument("--s2d_backbone", default="h",
+                   choices=["h", "2x2", "off"],
+                   help="SuperPoint inference layout: H-only s2d (fastest), "
+                        "(2,2) s2d, or the plain conv path (diagnostics)")
     p.add_argument("--match_threshold", type=float, default=0.1,
                    help="SuperGlue match confidence cutoff (reference "
                         "default_config uses 0.2; the self-trained "
@@ -91,6 +95,8 @@ def _sp_model_and_vars(args):
         else (32, 64, 128, 256),
         sinkhorn_iterations=30,
         match_threshold=args.match_threshold,
+        s2d_backbone=args.s2d_backbone != "off",
+        s2d_layout=args.s2d_backbone if args.s2d_backbone != "off" else "h",
     )
     model = Matching(cfg)
     example = jnp.zeros((1, args.height, args.width, 1))

@@ -60,12 +60,14 @@ class MultiHeadedAttention(nn.Module):
     """4-head attention over masked keypoint sets (superglue_test.py:85-106).
 
     `impl`: "einsum" materialises the (N, M) scores per head (fastest at
-    the reference's N ≈ 1k, fully fused by XLA); "flash" uses the Pallas
-    blockwise online-softmax kernel (ops/pallas/attention.py) whose
-    memory is O(N·d) — the long-context path for 10⁴⁺ keypoints;
-    "auto" (the default everywhere) picks flash on TPU once the source
-    set reaches FLASH_MIN_KEYPOINTS, einsum otherwise — shapes are
-    static under jit, so the choice is resolved at trace time.
+    the reference's N ≈ 1k, fully fused by XLA); "onepass" is the Pallas
+    whole-K/V-resident single-pass kernel (mid sizes); "flash" is the
+    Pallas blockwise online-softmax kernel (ops/pallas/attention.py)
+    whose memory is O(N·d) — the long-context path for 10⁴⁺ keypoints;
+    "auto" (the default everywhere) picks einsum below
+    FLASH_MIN_KEYPOINTS, onepass up to ONEPASS_MAX_KEYPOINTS, flash
+    beyond — shapes are static under jit, so the choice resolves at
+    trace time.
     """
 
     num_heads: int
@@ -107,20 +109,44 @@ class MultiHeadedAttention(nn.Module):
 
         b, n, _ = q.shape
         m = k.shape[1]
-        q = q.reshape(b, n, self.num_heads, d_head)
-        k = k.reshape(b, m, self.num_heads, d_head)
-        v = v.reshape(b, m, self.num_heads, d_head)
 
         impl = self.impl
-        if impl == "auto":
-            impl = (
-                "flash"
-                if m >= FLASH_MIN_KEYPOINTS and jax.default_backend() == "tpu"
-                else "einsum"
+        if impl == "auto" and jax.default_backend() == "tpu":
+            # v5e measurements (scripts/probe_attn_onepass.py, fold 8/16):
+            # einsum wins below ~1k keys; the one-pass whole-K/V kernel
+            # wins from 1024 up to its VMEM limit (0.063 vs 0.068 ms at
+            # fold16/N1024; 0.127 vs flash 0.139 at N2048); the blocked
+            # flash kernel takes over beyond ONEPASS_MAX_KEYPOINTS.
+            from image_matching_tpu.ops.pallas.attention import (
+                ONEPASS_MAX_KEYPOINTS,
             )
-        if impl == "flash":
-            from image_matching_tpu.ops.pallas.attention import flash_attention
 
+            if m >= FLASH_MIN_KEYPOINTS:
+                impl = "onepass" if m <= ONEPASS_MAX_KEYPOINTS else "flash"
+            else:
+                impl = "einsum"
+        elif impl == "auto":
+            impl = "einsum"
+        if impl == "onepass":
+            # packed-head kernel: head split via lane-offset BlockSpecs,
+            # no fold transposes (those cost more than the kernel saves
+            # at N=1024, scripts/probe_sg.py round-4 measurement)
+            from image_matching_tpu.ops.pallas.attention import (
+                attention_onepass_heads,
+            )
+
+            out = attention_onepass_heads(
+                q, k, v, source_mask, num_heads=self.num_heads
+            )
+            out = out.reshape(b, n, self.num_heads, d_head)
+        elif impl == "flash":
+            from image_matching_tpu.ops.pallas.attention import (
+                flash_attention,
+            )
+
+            q = q.reshape(b, n, self.num_heads, d_head)
+            k = k.reshape(b, m, self.num_heads, d_head)
+            v = v.reshape(b, m, self.num_heads, d_head)
             fold = lambda x: x.transpose(0, 2, 1, 3).reshape(
                 b * self.num_heads, -1, d_head
             )
@@ -130,6 +156,9 @@ class MultiHeadedAttention(nn.Module):
             out = flash_attention(fold(q), fold(k), fold(v), km)
             out = out.reshape(b, self.num_heads, n, d_head).transpose(0, 2, 1, 3)
         else:
+            q = q.reshape(b, n, self.num_heads, d_head)
+            k = k.reshape(b, m, self.num_heads, d_head)
+            v = v.reshape(b, m, self.num_heads, d_head)
             logits = jnp.einsum(
                 "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
             ) / (d_head ** 0.5)
@@ -256,7 +285,7 @@ class SuperGlue(nn.Module):
     sinkhorn_iterations: int = 100
     match_threshold: float = 0.2
     dtype: jnp.dtype = jnp.float32
-    attention_impl: str = "auto"  # "auto" | "einsum" | "flash"
+    attention_impl: str = "auto"  # "auto" | "einsum" | "flash" | "onepass"
     # "auto": fused Pallas iteration loop (ops/pallas/sinkhorn.py) at
     # inference on TPU, differentiable scan when training / elsewhere
     sinkhorn_impl: str = "auto"  # "auto" | "scan" | "pallas"

@@ -227,6 +227,259 @@ def _auto_blocks(nq: int, nk: int) -> tuple:
     return min(512, r128(nq)), min(1024, r128(nk))
 
 
+def _attn_onepass_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+    """Whole-K/V-resident attention: no online-softmax state, no
+    scratch round-trips — logits computed once, exp'd once, contracted
+    once. The XLA einsum path at these sizes recomputes the logits for
+    the A·V pass (profiler: the softmax-stats fusion dominates)."""
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (nk, d)
+    v = v_ref[0]
+    mask = mask_ref[0, 0]  # (nk,)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(mask[None, :] > 0, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _onepass_forward(q, k, v, key_mask, scale, block_q):
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    scale_val = scale if scale is not None else 1.0 / math.sqrt(d)
+    nq_pad = -(-nq // block_q) * block_q
+    nk_pad = -(-nk // LANES) * LANES
+    qp = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    if key_mask is None:
+        key_mask = jnp.ones((b, nk), bool)
+    mp = jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, nk_pad - nk)))
+    mp = mp[:, None, :]
+    out = pl.pallas_call(
+        functools.partial(_attn_onepass_kernel, scale=scale_val),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, d), q.dtype),
+        grid=(b, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, nk_pad, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, nk_pad, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, nk_pad), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp, mp)
+    return out[:, :nq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_onepass(q, k, v, key_mask, scale, block_q):
+    return _onepass_forward(q, k, v, key_mask, scale, block_q)
+
+
+def _onepass_fwd(q, k, v, key_mask, scale, block_q):
+    return _onepass_forward(q, k, v, key_mask, scale, block_q), (
+        q, k, v, key_mask,
+    )
+
+
+def _onepass_bwd(scale, block_q, res, g):
+    q, k, v, key_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(q_, k_, v_, key_mask, scale),
+        q, k, v,
+    )
+    return (*vjp(g), None)
+
+
+_attention_onepass.defvjp(_onepass_fwd, _onepass_bwd)
+
+# one-pass applicability: the (block_q, nk) f32 logits tile plus K/V
+# must sit in VMEM — nk*4*block_q + 2*nk*d*2 well under ~16 MB
+ONEPASS_MAX_KEYPOINTS = 4096
+
+
+def attention_reference_heads(q, k, v, key_mask=None, num_heads=4,
+                              scale=None):
+    """Multi-head einsum attention on packed (B, N, H*Dh) tensors —
+    oracle and backward path for `attention_onepass_heads`; matches
+    models/superglue.py's einsum formulation."""
+    b, n, dt = q.shape
+    m = k.shape[1]
+    dh = dt // num_heads
+    scale = scale if scale is not None else 1.0 / math.sqrt(dh)
+    qh = q.reshape(b, n, num_heads, dh)
+    kh = k.reshape(b, m, num_heads, dh)
+    vh = v.reshape(b, m, num_heads, dh)
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if key_mask is not None:
+        logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd", probs, vh, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, n, dt).astype(q.dtype)
+
+
+def _attn_onepass_pair_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                              scale, dh, g):
+    """One-pass attention over g = 128/d_head heads packed in one
+    lane-aligned block.
+
+    Pallas block shapes must tile (8, 128), so a d_head-lane per-head
+    block is illegal for d_head < 128; instead each block carries g
+    consecutive heads and they are separated by lane MASKS: zeroing the
+    other heads' lanes before the full-width QK^T contraction yields
+    each head's logits exactly (the cross terms multiply by zero), and
+    the MXU pays nothing extra — a k=d_head contraction would occupy
+    the same padded 128-lane pass."""
+    q = q_ref[0]  # (block_q, g*dh)
+    k = k_ref[0]  # (nk, g*dh)
+    v = v_ref[0]
+    mask = mask_ref[0, 0]  # (nk,)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g * dh), 1)
+    out = jnp.zeros((q.shape[0], g * dh), jnp.float32)
+    for h in range(g):
+        sel = (lane >= h * dh) & (lane < (h + 1) * dh)
+        qm = jnp.where(sel, q, 0).astype(q.dtype)
+        s = jax.lax.dot_general(
+            qm, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(mask[None, :] > 0, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ) / l
+        out = jnp.where(sel, o, out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _onepass_heads_forward(q, k, v, key_mask, num_heads, scale, block_q):
+    b, nq, dt = q.shape
+    nk = k.shape[1]
+    dh = dt // num_heads
+    g = LANES // dh  # heads per 128-lane block
+    if dh > LANES or LANES % dh or num_heads % g:
+        raise ValueError(
+            f"packed-head kernel needs d_head dividing {LANES} and the "
+            f"head count a multiple of {LANES}//d_head, got "
+            f"H={num_heads} dh={dh}"
+        )
+    scale_val = scale if scale is not None else 1.0 / math.sqrt(dh)
+    nq_pad = -(-nq // block_q) * block_q
+    nk_pad = -(-nk // LANES) * LANES
+    qp = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    if key_mask is None:
+        key_mask = jnp.ones((b, nk), bool)
+    mp = jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, nk_pad - nk)))
+    mp = mp[:, None, :]
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_onepass_pair_kernel, scale=scale_val, dh=dh, g=g
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, dt), q.dtype),
+        grid=(b, num_heads // g, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, g * dh), lambda b_, h, i: (b_, i, h)),
+            pl.BlockSpec((1, nk_pad, g * dh), lambda b_, h, i: (b_, 0, h)),
+            pl.BlockSpec((1, nk_pad, g * dh), lambda b_, h, i: (b_, 0, h)),
+            pl.BlockSpec((1, 1, nk_pad), lambda b_, h, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, g * dh), lambda b_, h, i: (b_, i, h)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp, mp)
+    return out[:, :nq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_onepass_heads(q, k, v, key_mask, num_heads, scale, block_q):
+    return _onepass_heads_forward(q, k, v, key_mask, num_heads, scale,
+                                  block_q)
+
+
+def _onepass_heads_fwd(q, k, v, key_mask, num_heads, scale, block_q):
+    return (
+        _onepass_heads_forward(q, k, v, key_mask, num_heads, scale, block_q),
+        (q, k, v, key_mask),
+    )
+
+
+def _onepass_heads_bwd(num_heads, scale, block_q, res, g):
+    q, k, v, key_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference_heads(
+            q_, k_, v_, key_mask, num_heads, scale
+        ),
+        q, k, v,
+    )
+    return (*vjp(g), None)
+
+
+_attention_onepass_heads.defvjp(_onepass_heads_fwd, _onepass_heads_bwd)
+
+
+def attention_onepass_heads(q, k, v, key_mask, num_heads=4, scale=None,
+                            block_q=None):
+    """Single-pass multi-head attention on PACKED (B, N, H*Dh) tensors:
+    the head split happens in the grid/BlockSpec (lane-aligned head
+    groups) + in-kernel lane masks, so no fold transposes ever
+    materialise — the overhead that makes the folded one-pass kernel
+    lose to einsum in-model at N=1024. Falls back to the folded kernel
+    when the head geometry doesn't pack into 128-lane groups.
+    Differentiable (backward recomputes via the einsum reference)."""
+    if block_q is None:
+        r128 = lambda n: -(-n // 128) * 128
+        block_q = min(512, r128(q.shape[1]))
+    b, n, dt = q.shape
+    dh = dt // num_heads
+    if dh <= LANES and LANES % dh == 0 and num_heads % (LANES // dh) == 0:
+        return _attention_onepass_heads(
+            q, k, v, key_mask, num_heads, scale, block_q
+        )
+    # fold to (B*H, N, dh) and use the single-head kernel
+    m = k.shape[1]
+    fold = lambda x: x.reshape(b, -1, num_heads, dh).transpose(
+        0, 2, 1, 3).reshape(b * num_heads, -1, dh)
+    km = None if key_mask is None else jnp.repeat(key_mask, num_heads, 0)
+    out = _attention_onepass(
+        fold(q), fold(k), fold(v), km, scale, block_q
+    )
+    return out.reshape(b, num_heads, n, dh).transpose(0, 2, 1, 3).reshape(
+        b, n, dt
+    )
+
+
+def attention_onepass(q, k, v, key_mask, scale=None, block_q=None):
+    """Single-pass whole-context attention (inference sweet spot for
+    N <= ONEPASS_MAX_KEYPOINTS). Differentiable: backward recomputes
+    through the einsum reference VJP."""
+    if block_q is None:
+        r128 = lambda n: -(-n // 128) * 128
+        block_q = min(512, r128(q.shape[1]))
+    return _attention_onepass(q, k, v, key_mask, scale, block_q)
+
+
 def flash_attention(
     q, k, v, key_mask, scale=None,
     block_q: int | None = None, block_k: int | None = None,

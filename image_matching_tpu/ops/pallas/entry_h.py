@@ -105,7 +105,11 @@ def _kernel(xe_hbm, xo_hbm, k_ref, scale_ref, shift_ref, out_ref,
             preferred_element_type=jnp.float32,
         ).reshape(r * w, -1)  # (r, w, 2co) -> (r*w, 2co)
     y = jnp.maximum(acc * scale_ref[...] + shift_ref[...], 0.0)
-    out_ref[0] = y.astype(out_ref.dtype).reshape(r, w, -1)
+    y = y.astype(out_ref.dtype).reshape(r, w, -1)
+    if len(out_ref.shape) == 4:  # "bhwc" block (1, r, w, 2co)
+        out_ref[0] = y
+    else:  # "hwbc" block (r, w, 2co)
+        out_ref[...] = y
 
 
 @functools.partial(
@@ -124,6 +128,16 @@ def entry_h_fused_pallas(
     # but lowers the major-axis stack + dim-0 contraction fine (v5e,
     # 2026-08-20). "stack_minor" remains exercised in interpret tests.
     variant: str = "stack_major",
+    # physical output arrangement. "hwbc"/"hwbc_raw" store
+    # (H/2, W, B*2co) — bit-identical bytes to XLA's conv-preferred
+    # {3,0,2,1} layout of the logical NHWC result (batch fills the 8
+    # sublanes, channels the 128 lanes). "hwbc" transposes back to
+    # logical NHWC (measured: XLA materialises that as a 0.96 ms copy —
+    # NOT free); "hwbc_raw" returns the raw array for consumers that
+    # read it directly (HWNC-labelled conv, scripts/probe_entry_chain
+    # .py); "bhwc" is plain row-major NHWC (the conv then pays a
+    # +0.42 ms input relayout inside its fusion).
+    out_layout: str = "bhwc",
     interpret: bool = False,
 ) -> jax.Array:
     """img (B, H, W) + w (3, 3, 1, co) + per-channel (2co,) f32 affine →
@@ -152,7 +166,17 @@ def entry_h_fused_pallas(
     kernel = functools.partial(
         _kernel, r=block_rows, w=wd, nb=nb, variant=variant
     )
-    return pl.pallas_call(
+    if out_layout in ("hwbc", "hwbc_raw"):
+        out_spec = pl.BlockSpec(
+            (block_rows, wd, 2 * co), lambda bi, i: (i, 0, bi)
+        )
+        out_shape = jax.ShapeDtypeStruct((h2, wd, b * 2 * co), jnp.bfloat16)
+    else:  # "bhwc"
+        out_spec = pl.BlockSpec(
+            (1, block_rows, wd, 2 * co), lambda bi, i: (bi, i, 0, 0)
+        )
+        out_shape = jax.ShapeDtypeStruct((b, h2, wd, 2 * co), jnp.bfloat16)
+    out = pl.pallas_call(
         kernel,
         grid=(b, nb),
         in_specs=[
@@ -162,10 +186,8 @@ def entry_h_fused_pallas(
             pl.BlockSpec((1, 2 * co), lambda bi, i: (0, 0)),
             pl.BlockSpec((1, 2 * co), lambda bi, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_rows, wd, 2 * co), lambda bi, i: (bi, i, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h2, wd, 2 * co), jnp.bfloat16),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, block_rows + 8, wp), jnp.bfloat16),
             pltpu.VMEM((2, block_rows + 8, wp), jnp.bfloat16),
@@ -174,6 +196,13 @@ def entry_h_fused_pallas(
         interpret=interpret,
     )(xe, xo, kmat, scale.reshape(1, -1).astype(jnp.float32),
       shift.reshape(1, -1).astype(jnp.float32))
+    if out_layout == "hwbc":
+        # logical NHWC; measured NOT free — XLA materialises the
+        # transpose as a 0.96 ms copy at the headline shape. Consumers
+        # that can read (H/2, W, B, 2co) directly (HWNC-labelled conv)
+        # should use "hwbc_raw" instead.
+        out = out.reshape(h2, wd, b, 2 * co).transpose(2, 0, 1, 3)
+    return out
 
 
 def _xla_reference(img, w, scale, shift):

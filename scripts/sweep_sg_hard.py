@@ -18,9 +18,9 @@ COMBOS = [
     # (sg_weights, match_threshold, conf_gamma)
     ("weights/sg_persp.npz", 0.1, 1.0),   # current flagship setting
     ("weights/sg_persp.npz", 0.1, 2.0),
-    ("weights/sg_persp.npz", 0.1, 0.5),
-    ("weights/sg_persp.npz", 0.2, 1.0),
-    ("weights/sg_persp.npz", 0.05, 1.0),
+    ("weights/sg_persp.npz", 0.1, 4.0),
+    ("weights/sg_persp.npz", 0.2, 2.0),
+    ("weights/sg_persp.npz", 0.3, 1.0),
     ("weights/sg_photo.npz", 0.1, 2.0),
 ]
 
