@@ -33,16 +33,16 @@ from image_matching_tpu.structs import Keypoints, MatchResult
 
 NEG_INF = -1e9
 
-# "auto" attention resolves to the Pallas flash kernel at/above this many
-# keypoints (on TPU). Measured on v5e with the VMEM-filling adaptive
-# block sizes (scripts/bench_attention.py → artifacts/attention_bench
-# .json, carry-dependent scan timing): at N=1024 einsum still wins
-# (0.062 vs 0.070 ms at the in-model fold 16, even with a single
-# kv-resident block), but at N=2048 flash wins 2.8x (0.138 vs 0.386 ms
-# fwd at fold 8; 0.276 vs 0.775 at fold 16) and einsum's f32 logits
-# stop tiling entirely past 5k (84.6 ms at 6144). fwd+bwd crossover
-# matches. Larger batch folds shift the crossover lower still (fold 32:
-# flash already 2.5x at N=1024) — 2048 is the conservative boundary.
+# "auto" attention leaves the einsum path at/above this many keypoints
+# (on TPU); above it, inference takes the one-pass Pallas kernel up to
+# ONEPASS_MAX_KEYPOINTS and the blockwise flash kernel beyond (training
+# goes straight to flash — see the dispatch comment in
+# MultiHeadedAttention). Measured on v5e (scripts/bench_attention.py →
+# artifacts/attention_bench.json, carry-dependent scan timing): at
+# N=1024 einsum still wins IN-MODEL (fold-16 fusion), at N=2048 flash
+# wins 2.8x standalone (0.138 vs 0.386 ms fwd at fold 8) and onepass
+# edges out flash (0.127 vs 0.139), while einsum's f32 logits stop
+# tiling entirely past 5k (84.6 ms at 6144). fwd+bwd crossover matches.
 FLASH_MIN_KEYPOINTS = 2048
 
 
@@ -82,6 +82,7 @@ class MultiHeadedAttention(nn.Module):
         source: jax.Array,  # (B, M, D) — keys and values
         source_mask: Optional[jax.Array] = None,  # (B, M)
         return_premerge: bool = False,
+        train: bool = False,
     ) -> jax.Array:
         d_head = self.dim // self.num_heads
         cd = self.dtype
@@ -117,12 +118,28 @@ class MultiHeadedAttention(nn.Module):
             # wins from 1024 up to its VMEM limit (0.063 vs 0.068 ms at
             # fold16/N1024; 0.127 vs flash 0.139 at N2048); the blocked
             # flash kernel takes over beyond ONEPASS_MAX_KEYPOINTS.
+            # Isolated-kernel timings put the onepass crossover at 1024,
+            # but IN-MODEL the 1024-2048 band stays on einsum
+            # deliberately: the packed-heads call avoids fold transposes
+            # yet still loses 0.23 ms to einsum's tighter fusion at
+            # K=1024 (probe_sg, round 4: 5.41 vs 5.18 ms SG stack), so
+            # FLASH_MIN_KEYPOINTS=2048 is the measured in-model boundary,
+            # not a leftover.
+            # Training never picks onepass: its custom_vjp backward
+            # recomputes through the einsum reference and materialises
+            # the full O(N·M) f32 logits — the forward's VMEM-friendly
+            # behaviour would silently disappear under grad. Flash's
+            # backward is blockwise, so training routes straight to it
+            # above the einsum band (ADVICE round-4).
             from image_matching_tpu.ops.pallas.attention import (
                 ONEPASS_MAX_KEYPOINTS,
             )
 
             if m >= FLASH_MIN_KEYPOINTS:
-                impl = "onepass" if m <= ONEPASS_MAX_KEYPOINTS else "flash"
+                if train or m > ONEPASS_MAX_KEYPOINTS:
+                    impl = "flash"
+                else:
+                    impl = "onepass"
             else:
                 impl = "einsum"
         elif impl == "auto":
@@ -208,7 +225,7 @@ class AttentionalPropagation(nn.Module):
             # up to dtype rounding (reassociation).
             message, km, bm = attn(x, source, source_mask, return_premerge=True)
             return mlp(x, x_mask, train, x2=message, x2_fold=(km, bm))
-        message = attn(x, source, source_mask)
+        message = attn(x, source, source_mask, train=train)
         return mlp(x, x_mask, train, x2=message)
 
 

@@ -232,8 +232,12 @@ def entry_h_fused(
         h2 = h // 2
         # r=8 measured fastest on v5e at the headline shape (0.53 ms vs
         # 0.95/1.00 at r=16/24 — smaller blocks pipeline the output DMA
-        # better); larger r only as divisibility fallback
-        for r in (8, 16, 4):
+        # better); larger r only as divisibility fallback. Candidates
+        # must keep the over-fetched (r + 8)-row DMA slab a multiple of
+        # 8 sublanes (the Mosaic constraint above), so r=4 (slab 12) is
+        # NOT admissible — heights with H/2 % 8 != 0 fall through to
+        # the XLA composition instead (ADVICE round-4 medium).
+        for r in (8, 16):
             if h2 % r == 0:
                 return entry_h_fused_pallas(
                     img, w, scale, shift, block_rows=r, interpret=interpret

@@ -293,12 +293,24 @@ def conv3x3_s2dh_raw(x_h: jax.Array, w: jax.Array) -> jax.Array:
 
 def realign_h(u: jax.Array) -> jax.Array:
     """Uh (B, H/2+1, W, 2C) → alignedH (B, H/2, W, 2C): two row-shifted
-    slices — no lane/sublane slicing."""
+    slices — no lane/sublane slicing.
+
+    MISCOMPILE GUARD (round 5): the natural formulation
+    ``concatenate([u[:, 0:hh, :, :c], u[:, 1:hh+1, :, c:]], -1)`` is
+    miscompiled by the TPU backend under jit — the compiled program
+    drops the second operand's +1 row shift and reads rows 0:hh for
+    BOTH channel groups (wrong at every shape tried, exact in eager /
+    on CPU; scripts/bisect_h_quality.py banks the repro). This was the
+    round-3/4 H-layout quality regression: 2.13 px corner error vs
+    0.46 px with the layout off at the reference eval regime. The
+    4-operand (2, 2) ``realign`` does NOT trigger it. The elementwise
+    select below is jit-exact on the same backend (and fuses at least
+    as well: both row slices are full-channel, same-extent loads).
+    Locked by scripts/tpu_quality_gate.py part A on hardware."""
     hh = u.shape[1] - 1
     c = u.shape[3] // 2
-    return jnp.concatenate(
-        [u[:, 0:hh, :, :c], u[:, 1:hh + 1, :, c:]], axis=-1
-    )
+    mask = jnp.arange(u.shape[3]) < c
+    return jnp.where(mask, u[:, 0:hh], u[:, 1:hh + 1])
 
 
 def entry_kernel_h(w: jax.Array) -> jax.Array:
