@@ -79,6 +79,8 @@ def parse_args():
                    help="sharpen SuperGlue confidences fed to RANSAC "
                         "(registration.build_registration_fn)")
     p.add_argument("--success_px", type=float, default=5.0)
+    p.add_argument("--per_pair", action="store_true",
+                   help="include per-pair diagnostics in the JSON")
     p.add_argument("--out", default="EVAL.json")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
@@ -141,7 +143,8 @@ def main():
             fn = jax.jit(build_classical_registration_fn(
                 name, ransac_model=args.ransac_model,
                 ransac_threshold=args.ransac_threshold))
-            res = evaluate_pipeline(fn, pairs, key, args.success_px, batched=False)
+            res = evaluate_pipeline(fn, pairs, key, args.success_px,
+                                    batched=False, per_pair=args.per_pair)
         else:
             if learned is None:
                 learned = _sp_model_and_vars(args)
@@ -160,6 +163,7 @@ def main():
             res = evaluate_pipeline(
                 lambda t, s, k: fn(variables, t, s, k),
                 pairs, key, args.success_px, batched=True,
+                per_pair=args.per_pair,
             )
         res["wall_s_total"] = round(time.perf_counter() - t0, 2)
         results[name] = res

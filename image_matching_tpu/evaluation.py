@@ -235,6 +235,7 @@ def evaluate_pipeline(
     key: jax.Array,
     success_px: float = 5.0,
     batched: bool = False,
+    per_pair: bool = False,
 ) -> Dict:
     """Run a registration fn over eval pairs, aggregate metrics.
 
@@ -277,7 +278,20 @@ def evaluate_pipeline(
 
     errors = np.asarray(errors)
     ok = errors < success_px
+    extra = {}
+    if per_pair:
+        # per-pair diagnostics (inf -> null in JSON via None)
+        extra["per_pair"] = [
+            {
+                "corner_err_px": float(e) if np.isfinite(e) else None,
+                "matches": m,
+                "inliers": i,
+                "fit_valid": v,
+            }
+            for e, m, i, v in zip(errors, matches, inliers, valids)
+        ]
     return {
+        **extra,
         "n_pairs": len(pairs),
         "success_rate": float(np.mean(ok)),
         "mean_corner_err_px": float(np.mean(errors[ok])) if ok.any() else None,

@@ -52,6 +52,14 @@ class MatchingConfig:
     sinkhorn_iterations: int = struct.field(pytree_node=False, default=100)
     match_threshold: float = struct.field(pytree_node=False, default=0.2)
     attention_impl: str = struct.field(pytree_node=False, default="auto")
+    # einsum-attention logits storage dtype ("float32" | "bfloat16") —
+    # bf16 halves the SG stack's dominant HBM term (v5e probe_sg: 5.29
+    # -> 5.07 ms at B=4/K=1024, and it removes the batch-8 logits
+    # cliff entirely: 2.25 -> 1.26 ms/pair-side-set). Inference-only
+    # default; trainers build SuperGlue directly with f32 logits. See
+    # MultiHeadedAttention.logits_dtype; quality bars re-checked by
+    # scripts/tpu_quality_gate.py.
+    logits_dtype: str = struct.field(pytree_node=False, default="bfloat16")
     sinkhorn_impl: str = struct.field(pytree_node=False, default="auto")
     # 2B-batched GNN sides (see SuperGlue.stack_sides — loses at B=4/K=1k)
     stack_sides: bool = struct.field(pytree_node=False, default=False)
@@ -94,6 +102,7 @@ class Matching(nn.Module):
             sinkhorn_iterations=cfg.sinkhorn_iterations,
             match_threshold=cfg.match_threshold,
             attention_impl=cfg.attention_impl,
+            logits_dtype=cfg.logits_dtype,
             sinkhorn_impl=cfg.sinkhorn_impl,
             stack_sides=cfg.stack_sides,
             dtype=cfg.dtype,

@@ -74,6 +74,14 @@ class MultiHeadedAttention(nn.Module):
     dim: int
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"
+    # storage dtype of the (B, H, N, M) attention logits on the einsum
+    # path. "bfloat16" halves the dominant HBM term of the SG stack at
+    # the headline shape (the logits tensor is 36x the size of any
+    # activation): the QK matmul still accumulates f32 on the MXU and
+    # the softmax is computed in f32 from the bf16-rounded logits —
+    # only the HBM round-trip narrows. f32 keeps the original numerics
+    # bit-for-bit.
+    logits_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -176,19 +184,40 @@ class MultiHeadedAttention(nn.Module):
             q = q.reshape(b, n, self.num_heads, d_head)
             k = k.reshape(b, m, self.num_heads, d_head)
             v = v.reshape(b, m, self.num_heads, d_head)
-            logits = jnp.einsum(
-                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-            ) / (d_head ** 0.5)
-            if source_mask is not None:
-                logits = jnp.where(source_mask[:, None, None, :], logits, NEG_INF)
-            # NOTE (round-4 measurement): moving the softmax
-            # normalisation after the PV matmul with a bf16 exp tensor
-            # ((exp @ v) / s) measured 1.3 ms SLOWER in-model — XLA
-            # splits the row-sum into its own full-tensor pass and the
-            # divide forces a worse PV output layout
-            # (scripts/profile_headline.py). The plain softmax fuses
-            # logits+mask+softmax into one op; keep it.
-            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            if self.logits_dtype == "bfloat16":
+                # Pre-scale Q (a (B, N, D)-sized op that fuses into the
+                # projection epilogue) so the matmul can emit bf16
+                # directly; softmax still runs in f32 — the convert
+                # rides inside the softmax fusion, so HBM sees only
+                # bf16 logits.
+                qs = q * jnp.asarray(1.0 / (d_head ** 0.5), q.dtype)
+                logits = jnp.einsum(
+                    "bnhd,bmhd->bhnm", qs, k,
+                    preferred_element_type=jnp.bfloat16,
+                )
+                if source_mask is not None:
+                    logits = jnp.where(
+                        source_mask[:, None, None, :], logits, NEG_INF
+                    )
+                probs = jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                ).astype(self.dtype)
+            else:
+                logits = jnp.einsum(
+                    "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+                ) / (d_head ** 0.5)
+                if source_mask is not None:
+                    logits = jnp.where(
+                        source_mask[:, None, None, :], logits, NEG_INF
+                    )
+                # NOTE (round-4 measurement): moving the softmax
+                # normalisation after the PV matmul with a bf16 exp
+                # tensor ((exp @ v) / s) measured 1.3 ms SLOWER in-model
+                # — XLA splits the row-sum into its own full-tensor pass
+                # and the divide forces a worse PV output layout
+                # (scripts/profile_headline.py). The plain softmax fuses
+                # logits+mask+softmax into one op; keep it.
+                probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
         out = out.reshape(b, n, self.dim)
         km, bm = params("merge")
@@ -206,12 +235,14 @@ class AttentionalPropagation(nn.Module):
     num_heads: int = 4
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    logits_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, source, x_mask, source_mask, train: bool = False):
         attn = MultiHeadedAttention(
             self.num_heads, self.dim, dtype=self.dtype,
-            impl=self.attention_impl, name="attn"
+            impl=self.attention_impl, logits_dtype=self.logits_dtype,
+            name="attn"
         )
         mlp = SeqMLP((self.dim * 2, self.dim), dtype=self.dtype, name="mlp")
         # x2= splits the first Dense kernel instead of materialising
@@ -248,6 +279,7 @@ class AttentionalGNN(nn.Module):
     layer_names: Tuple[str, ...]
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    logits_dtype: str = "float32"
     stack_sides: bool = False
 
     @nn.compact
@@ -260,6 +292,7 @@ class AttentionalGNN(nn.Module):
                 layer = AttentionalPropagation(
                     self.dim, dtype=self.dtype,
                     attention_impl=self.attention_impl,
+                    logits_dtype=self.logits_dtype,
                     name=f"layer_{i}_{name}"
                 )
                 if name == "cross":
@@ -272,7 +305,8 @@ class AttentionalGNN(nn.Module):
         for i, name in enumerate(self.layer_names):
             layer = AttentionalPropagation(
                 self.dim, dtype=self.dtype,
-                attention_impl=self.attention_impl, name=f"layer_{i}_{name}"
+                attention_impl=self.attention_impl,
+                logits_dtype=self.logits_dtype, name=f"layer_{i}_{name}"
             )
             if name == "cross":
                 src0, sm0 = desc1, mask1
@@ -303,6 +337,8 @@ class SuperGlue(nn.Module):
     match_threshold: float = 0.2
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"  # "auto" | "einsum" | "flash" | "onepass"
+    # einsum-path logits storage dtype (see MultiHeadedAttention)
+    logits_dtype: str = "float32"
     # "auto": fused Pallas iteration loop (ops/pallas/sinkhorn.py) at
     # inference on TPU, differentiable scan when training / elsewhere
     sinkhorn_impl: str = "auto"  # "auto" | "scan" | "pallas"
@@ -347,6 +383,7 @@ class SuperGlue(nn.Module):
         desc0, desc1 = AttentionalGNN(
             d, self._layer_names(), dtype=self.dtype,
             attention_impl=self.attention_impl,
+            logits_dtype=self.logits_dtype,
             stack_sides=self.stack_sides, name="gnn"
         )(desc0, desc1, mask0, mask1, train)
 

@@ -24,6 +24,8 @@ def main():
     p.add_argument("--batch", type=int, nargs="+", default=[4, 8])
     p.add_argument("--k", type=int, default=1024)
     p.add_argument("--impl", nargs="+", default=["einsum"])
+    p.add_argument("--logits", nargs="+", default=["float32"],
+                   help="einsum logits storage dtype(s) to probe")
     p.add_argument("--stack", type=int, nargs="+", default=[0, 1])
     p.add_argument("--iters", type=int, default=40)
     args = p.parse_args()
@@ -42,12 +44,14 @@ def main():
         )
         kpts0, kpts1 = kp(), kp()
         for impl in args.impl:
+          for ldt in args.logits:
             for stack in args.stack:
                 model = SuperGlue(
                     descriptor_dim=256, keypoint_encoder=(32, 64, 128, 256),
                     gnn_layers=18, sinkhorn_iterations=30,
                     match_threshold=0.1, dtype=jnp.bfloat16,
-                    attention_impl=impl, stack_sides=bool(stack),
+                    attention_impl=impl, logits_dtype=ldt,
+                    stack_sides=bool(stack),
                 )
                 variables = jax.jit(model.init)(
                     jax.random.PRNGKey(0), kpts0, kpts1, (480, 640), (480, 640)
@@ -75,7 +79,7 @@ def main():
                 t0 = time.perf_counter()
                 float(run(variables, kpts0, kpts1))
                 dt = (time.perf_counter() - t0) / (args.iters // 2)
-                print(f"B={b} impl={impl} stack={stack}: {dt*1e3:.3f} ms/fwd "
+                print(f"B={b} impl={impl} logits={ldt} stack={stack}: {dt*1e3:.3f} ms/fwd "
                       f"({dt*1e3/b:.3f} ms/pair-side-set)", flush=True)
 
 

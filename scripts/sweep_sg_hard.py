@@ -21,7 +21,12 @@ COMBOS = [
     ("weights/sg_persp.npz", 0.1, 4.0),
     ("weights/sg_persp.npz", 0.2, 2.0),
     ("weights/sg_persp.npz", 0.3, 1.0),
+    ("weights/sg_persp.npz", 0.3, 2.0),
+    ("weights/sg_persp.npz", 0.4, 2.0),
+    ("weights/sg_persp.npz", 0.5, 1.0),
     ("weights/sg_photo.npz", 0.1, 2.0),
+    ("weights/sg_hard.npz", 0.1, 1.0),
+    ("weights/sg_hard.npz", 0.2, 2.0),
 ]
 
 

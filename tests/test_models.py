@@ -142,6 +142,34 @@ class TestSuperGlue:
         # do match must match the identity
         assert (m0[matched] == np.arange(12)[matched]).all()
 
+    def test_bf16_logits_agrees_with_f32(self):
+        """logits_dtype="bfloat16" (the inference default's HBM-traffic
+        option) adds no params and must agree with the f32-logits path
+        on confident matches: same identity matching on a duplicated
+        set, near-total matches0 agreement, small score deltas."""
+        model, variables = self._model_and_vars(d=64, k=12, layers=2, iters=50)
+        model_bf = SuperGlue(
+            descriptor_dim=64,
+            keypoint_encoder=(32, 64),
+            gnn_layers=2,
+            sinkhorn_iterations=50,
+            match_threshold=0.2,
+            logits_dtype="bfloat16",
+        )
+        rng = np.random.default_rng(2)
+        kp = make_kpts(rng, 1, 12, 64)
+        out = model.apply(variables, kp, kp, (64, 64), (64, 64))
+        out_bf = model_bf.apply(variables, kp, kp, (64, 64), (64, 64))
+        m0, m0_bf = np.asarray(out["matches0"][0]), np.asarray(out_bf["matches0"][0])
+        matched = m0_bf >= 0
+        assert (m0_bf[matched] == np.arange(12)[matched]).all()
+        assert (m0 == m0_bf).mean() >= 0.9
+        ds = np.abs(
+            np.asarray(out["matching_scores0"], np.float32)
+            - np.asarray(out_bf["matching_scores0"], np.float32)
+        ).max()
+        assert ds < 0.15, f"score drift {ds}"
+
     def test_padding_invariance(self):
         """Extra masked-out slots must not change valid matches (eval mode)."""
         model, variables = self._model_and_vars(d=32, k=24)
