@@ -75,6 +75,10 @@ def parse_args():
                    help="SuperGlue match confidence cutoff (reference "
                         "default_config uses 0.2; the self-trained "
                         "pipeline banked its numbers at 0.1)")
+    p.add_argument("--sg_ratio_gate", type=float, default=0.0,
+                   help="descriptor-ratio gate over SuperGlue matches "
+                        "(0 = off; 0.9 keeps matches whose descriptor "
+                        "distance beats the best alternative by 10%%)")
     p.add_argument("--conf_gamma", type=float, default=1.0,
                    help="sharpen SuperGlue confidences fed to RANSAC "
                         "(registration.build_registration_fn)")
@@ -158,6 +162,7 @@ def main():
                     min_match_count=8,
                     produce_warp=False,
                     confidence_gamma=args.conf_gamma,
+                    sg_ratio_gate=args.sg_ratio_gate,
                 )
             )
             res = evaluate_pipeline(

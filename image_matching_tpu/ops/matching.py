@@ -84,6 +84,47 @@ def match_ratio_mutual(
 
 
 @jax.jit
+def ratio_gate_matches(
+    matches: MatchResult,
+    d0: jax.Array,
+    d1: jax.Array,
+    mask0: jax.Array,
+    mask1: jax.Array,
+    gate: float = 0.9,
+) -> MatchResult:
+    """Descriptor-consistency gate over an existing match set.
+
+    Keeps match (i, j) only if its descriptor distance beats the best
+    *alternative* column by the Lowe ratio `gate`:
+    dist(i, j) < gate² · min_{m≠j} dist(i, m). With gate=0.7 this is
+    the strict reference ratio test (superpoint_flann_test.py:77)
+    restricted to the given assignments; looser gates (0.9-1.0) keep
+    context-validated SuperGlue matches that a strict ratio would drop
+    while still rejecting descriptor-ambiguous assignments — the
+    failure mode that drags the RANSAC fit on perspective scenes.
+    """
+    sim, _ = _masked_sim(d0, d1, mask0, mask1)  # (..., N0, N1)
+    j = jnp.maximum(matches.matches0, 0)
+    sim_j = jnp.take_along_axis(sim, j[..., None], axis=-1)[..., 0]
+    n1 = sim.shape[-1]
+    is_j = jnp.arange(n1) == j[..., None]
+    alt = jnp.max(jnp.where(is_j, NEG_INF, sim), axis=-1)
+    dist_j = jnp.maximum(2.0 - 2.0 * sim_j, 0.0)
+    dist_alt = jnp.maximum(2.0 - 2.0 * alt, 0.0)
+    # strict < (OpenCV d1 < ratio*d2): an exact-duplicate
+    # alternative (both distances 0) must fail the gate
+    ok = (matches.matches0 >= 0) & (dist_j < (gate * gate) * dist_alt)
+    matches0 = jnp.where(ok, matches.matches0, -1).astype(jnp.int32)
+    scores0 = jnp.where(ok, matches.scores0, 0.0)
+    matches1, scores1 = _invert_matches(matches0, scores0, n1)
+    return MatchResult(
+        matches0=matches0,
+        matches1=matches1.astype(jnp.int32),
+        scores0=scores0,
+        scores1=scores1,
+    )
+
+
 def match_mutual_nn(
     d0: jax.Array,
     d1: jax.Array,

@@ -107,6 +107,7 @@ def build_registration_fn(
     produce_warp: bool = True,
     confidence_weighting: bool = True,
     confidence_gamma: float = 1.0,
+    sg_ratio_gate: float = 0.0,
 ):
     """Returns a jittable `register(variables, image0, image1, key)`.
 
@@ -138,6 +139,21 @@ def build_registration_fn(
                 method=Matching.match_keypoints,
             )
             matches = match_result_from_outputs(out)
+            if sg_ratio_gate > 0.0:
+                # hybrid gate: drop SuperGlue assignments whose
+                # descriptor distance does not beat the best alternative
+                # by the (loose) Lowe ratio `sg_ratio_gate` — keeps the
+                # GNN's context-validated extras while rejecting the
+                # descriptor-ambiguous tail (ops/matching.py:
+                # ratio_gate_matches)
+                from image_matching_tpu.ops.matching import (
+                    ratio_gate_matches,
+                )
+
+                matches = ratio_gate_matches(
+                    matches, kpts0.desc, kpts1.desc, kpts0.mask,
+                    kpts1.mask, gate=sg_ratio_gate,
+                )
         else:
             raise ValueError(f"unknown matcher: {matcher}")
 
